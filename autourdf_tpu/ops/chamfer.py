@@ -1,0 +1,85 @@
+"""Differentiable Chamfer distance on TPU.
+
+Behavioral parity with pytorch3d ``chamfer_distance(x, y, norm=1)`` as used
+by the reference registration loop (/root/reference/PointCloud/mlp_reg.py:96)
+and evaluation (/root/reference/Sim/evaluation.py:69-82):
+
+    loss = mean_i min_j d(x_i, y_j) + mean_j min_i d(y_j, x_i)
+
+with d the L1 distance for norm=1 and the *squared* L2 distance for norm=2.
+
+Differentiability: the argmin indices come from the non-differentiable
+nn_search kernel; the loss is then rebuilt as a gather + norm, which is
+exactly the subgradient of the true Chamfer objective (the argmin is
+piecewise constant).  Gradients flow to both inputs.
+
+Masks make padded points contribute zero and weight the means by true
+counts, so fixed-capacity padded batches keep reference loss semantics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .knn import Norm, nn_search
+
+
+def _pointwise(diff: jax.Array, norm: int) -> jax.Array:
+    if norm == 1:
+        return jnp.sum(jnp.abs(diff), axis=-1)
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def _masked_mean(vals: jax.Array, mask: jax.Array | None) -> jax.Array:
+    if mask is None:
+        return jnp.mean(vals)
+    m = mask.astype(vals.dtype)
+    return jnp.sum(vals * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def _apply_mask(pts: jax.Array, mask: jax.Array | None) -> jax.Array:
+    """Move masked-out points to the far sentinel so they are never matched."""
+    if mask is None:
+        return pts
+    from .knn import PAD_COORD
+
+    return jnp.where(mask[:, None], pts, PAD_COORD)
+
+
+def chamfer_distance(
+    x: jax.Array,
+    y: jax.Array,
+    x_mask: jax.Array | None = None,
+    y_mask: jax.Array | None = None,
+    norm: Norm = 1,
+    backend: str = "auto",
+) -> jax.Array:
+    """Symmetric Chamfer loss between ``x (N, 3)`` and ``y (M, 3)``.
+
+    Batched use: ``jax.vmap(chamfer_distance)`` (masks included).
+    """
+    xs = _apply_mask(x, x_mask)
+    ys = _apply_mask(y, y_mask)
+
+    _, ix = nn_search(jax.lax.stop_gradient(xs), jax.lax.stop_gradient(ys), norm, backend)
+    _, iy = nn_search(jax.lax.stop_gradient(ys), jax.lax.stop_gradient(xs), norm, backend)
+
+    d_xy = _pointwise(x - y[ix], norm)
+    d_yx = _pointwise(y - x[iy], norm)
+    return _masked_mean(d_xy, x_mask) + _masked_mean(d_yx, y_mask)
+
+
+def chamfer_directional(
+    x: jax.Array,
+    y: jax.Array,
+    x_mask: jax.Array | None = None,
+    y_mask: jax.Array | None = None,
+    norm: Norm = 1,
+    backend: str = "auto",
+) -> jax.Array:
+    """One-directional term ``mean_i min_j d(x_i, y_j)`` (x -> y only)."""
+    xs = _apply_mask(x, x_mask)
+    ys = _apply_mask(y, y_mask)
+    _, ix = nn_search(jax.lax.stop_gradient(xs), jax.lax.stop_gradient(ys), norm, backend)
+    return _masked_mean(_pointwise(x - y[ix], norm), x_mask)

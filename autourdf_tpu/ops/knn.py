@@ -1,0 +1,152 @@
+"""Nearest-neighbor search over point clouds: Pallas TPU kernel + XLA fallback.
+
+This is the inner-loop primitive of the whole framework — the reference
+spends its time inside pytorch3d's CUDA KNN (chamfer_distance at
+/root/reference/PointCloud/mlp_reg.py:96) and Open3D's KD-tree ICP
+correspondences.  On TPU a KD-tree is the wrong shape; brute force over
+tiled (TX, TY) distance blocks runs on the VPU at memory speed and is
+exact.
+
+Layout strategy: query points ``x`` stay ``(N, 3)`` (each coordinate
+sliced to a (TX, 1) column and lane-broadcast), reference points ``y``
+are transposed once to ``(3, M)`` so each coordinate is a (1, TY) row —
+the (TX, TY) distance block is then pure rank-2 VPU math with no rank-3
+intermediates.
+
+The search is intentionally non-differentiable (argmin indices); callers
+rebuild differentiable losses by gathering neighbors (see ops/chamfer.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Norm = Literal[1, 2]
+
+# Sentinel coordinate for padded reference points: far from any real data,
+# small enough that squared distances stay well inside f32 range.
+PAD_COORD = 1e6
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pad_points(pts: jax.Array, multiple: int, value: float = PAD_COORD) -> jax.Array:
+    """Pad (N, 3) along N to a multiple, filling with a far sentinel."""
+    n = pts.shape[0]
+    target = _round_up(max(n, 1), multiple)
+    if target == n:
+        return pts
+    return jnp.pad(pts, ((0, target - n), (0, 0)), constant_values=value)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _nn_kernel(x_ref, yt_ref, dist_ref, idx_ref, *, norm: int):
+    """One grid step: nearest neighbor in all of y for a (TX, 3) x-block.
+
+    The whole reference cloud lives in VMEM as (3, M); the (TX, M) distance
+    block is three fused broadcast-subtract-abs accumulations on the VPU —
+    no HBM traffic beyond the inputs, no rank-3 intermediates.
+    """
+    x0 = x_ref[:, 0:1].astype(jnp.float32)  # (TX, 1)
+    x1 = x_ref[:, 1:2].astype(jnp.float32)
+    x2 = x_ref[:, 2:3].astype(jnp.float32)
+    y0 = yt_ref[0:1, :].astype(jnp.float32)  # (1, M)
+    y1 = yt_ref[1:2, :].astype(jnp.float32)
+    y2 = yt_ref[2:3, :].astype(jnp.float32)
+    if norm == 1:
+        acc = jnp.abs(x0 - y0) + jnp.abs(x1 - y1) + jnp.abs(x2 - y2)
+    else:
+        d0, d1, d2 = x0 - y0, x1 - y1, x2 - y2
+        acc = d0 * d0 + d1 * d1 + d2 * d2
+    dist_ref[:] = jnp.min(acc, axis=1, keepdims=True)
+    idx_ref[:] = jnp.argmin(acc, axis=1).astype(jnp.int32)[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("norm", "tx", "ty", "interpret"))
+def _nn_pallas(x: jax.Array, y: jax.Array, norm: int, tx: int, ty: int, interpret: bool):
+    yp = pad_points(y, ty)
+    mp = yp.shape[0]
+    # Keep the (TX, M) distance block within a comfortable VMEM budget.
+    while tx > 8 and tx * mp * 4 > 6 * 1024 * 1024:
+        tx //= 2
+    if tx * mp * 4 > 6 * 1024 * 1024:  # reference cloud too large for VMEM
+        return _nn_xla(x, y, norm)
+    n = x.shape[0]
+    xp = pad_points(x, tx)
+    np_ = xp.shape[0]
+    yt = yp.T  # (3, M)
+
+    dist, idx = pl.pallas_call(
+        functools.partial(_nn_kernel, norm=norm),
+        grid=(np_ // tx,),
+        in_specs=[
+            pl.BlockSpec((tx, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tx, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tx, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, 1), jnp.float32),
+            jax.ShapeDtypeStruct((np_, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(xp, yt)
+    return dist[:n, 0], idx[:n, 0]
+
+
+# ---------------------------------------------------------------------------
+# XLA fallback (CPU tests / non-TPU backends), chunked to bound memory
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("norm", "chunk"))
+def _nn_xla(x: jax.Array, y: jax.Array, norm: int, chunk: int = 1024):
+    n = x.shape[0]
+    xp = pad_points(x, chunk)
+    xc = xp.reshape(-1, chunk, 3)
+
+    def one_chunk(xb):
+        diff = xb[:, None, :] - y[None, :, :]
+        d = jnp.sum(jnp.abs(diff), -1) if norm == 1 else jnp.sum(diff * diff, -1)
+        return jnp.min(d, axis=1), jnp.argmin(d, axis=1).astype(jnp.int32)
+
+    dist, idx = jax.lax.map(one_chunk, xc)
+    return dist.reshape(-1)[:n], idx.reshape(-1)[:n]
+
+
+def nn_search(
+    x: jax.Array,
+    y: jax.Array,
+    norm: Norm = 1,
+    backend: str = "auto",
+    tx: int = 256,
+    ty: int = 512,
+) -> tuple[jax.Array, jax.Array]:
+    """For each point in ``x (N, 3)``, nearest point in ``y (M, 3)``.
+
+    Returns ``(dist, idx)`` with dist the L1 distance (norm=1) or squared
+    L2 distance (norm=2) — matching pytorch3d ``knn_points`` semantics the
+    reference relies on.  Padded/sentinel y points (coordinate
+    ``PAD_COORD``) are never selected as long as one real point exists.
+    Not differentiable; gather ``y[idx]`` for gradients.
+    """
+    if backend == "auto":
+        # default_backend is trace-safe (backend choice is a compile-time fact)
+        backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+    if backend == "pallas":
+        return _nn_pallas(x, y, norm, tx, ty, interpret=False)
+    if backend == "pallas_interpret":
+        return _nn_pallas(x, y, norm, tx, ty, interpret=True)
+    return _nn_xla(x, y, norm)

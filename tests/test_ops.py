@@ -1,0 +1,178 @@
+"""Tests for the NN/Chamfer/k-means/FPS kernels against numpy oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autourdf_tpu.ops import (
+    chamfer_distance,
+    farthest_point_sample,
+    kmeans,
+    lloyd,
+    nn_search,
+)
+
+
+def brute_nn(x, y, norm):
+    diff = x[:, None, :] - y[None, :, :]
+    d = np.abs(diff).sum(-1) if norm == 1 else (diff**2).sum(-1)
+    return d.min(1), d.argmin(1)
+
+
+def brute_chamfer(x, y, norm):
+    dx, _ = brute_nn(x, y, norm)
+    dy, _ = brute_nn(y, x, norm)
+    return dx.mean() + dy.mean()
+
+
+class TestNN:
+    @pytest.mark.parametrize("norm", [1, 2])
+    @pytest.mark.parametrize("backend", ["xla", "pallas_interpret"])
+    def test_matches_bruteforce(self, rng, norm, backend):
+        x = rng.normal(size=(300, 3)).astype(np.float32)
+        y = rng.normal(size=(420, 3)).astype(np.float32)
+        d, i = nn_search(jnp.asarray(x), jnp.asarray(y), norm=norm, backend=backend)
+        d_ref, i_ref = brute_nn(x, y, norm)
+        np.testing.assert_allclose(np.asarray(d), d_ref, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(i), i_ref)
+
+    def test_nonmultiple_sizes(self, rng):
+        # sizes that are not multiples of the tile sizes exercise padding
+        x = rng.normal(size=(37, 3)).astype(np.float32)
+        y = rng.normal(size=(53, 3)).astype(np.float32)
+        d, i = nn_search(jnp.asarray(x), jnp.asarray(y), norm=1, backend="pallas_interpret")
+        d_ref, i_ref = brute_nn(x, y, 1)
+        np.testing.assert_allclose(np.asarray(d), d_ref, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(i), i_ref)
+
+
+class TestChamfer:
+    @pytest.mark.parametrize("norm", [1, 2])
+    def test_matches_bruteforce(self, rng, norm):
+        x = rng.normal(size=(256, 3)).astype(np.float32)
+        y = rng.normal(size=(300, 3)).astype(np.float32)
+        loss = chamfer_distance(jnp.asarray(x), jnp.asarray(y), norm=norm, backend="xla")
+        np.testing.assert_allclose(float(loss), brute_chamfer(x, y, norm), rtol=1e-5)
+
+    def test_identical_clouds_zero(self, rng):
+        x = rng.normal(size=(128, 3)).astype(np.float32)
+        loss = chamfer_distance(jnp.asarray(x), jnp.asarray(x), backend="xla")
+        assert float(loss) < 1e-6
+
+    def test_masked_equals_unpadded(self, rng):
+        x = rng.normal(size=(100, 3)).astype(np.float32)
+        y = rng.normal(size=(90, 3)).astype(np.float32)
+        ref = brute_chamfer(x, y, 1)
+        xp = np.concatenate([x, np.full((28, 3), 7.7, np.float32)])
+        yp = np.concatenate([y, np.full((38, 3), -9.9, np.float32)])
+        xm = np.arange(128) < 100
+        ym = np.arange(128) < 90
+        loss = chamfer_distance(
+            jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(xm), jnp.asarray(ym),
+            backend="xla",
+        )
+        np.testing.assert_allclose(float(loss), ref, rtol=1e-5)
+
+    def test_gradient_matches_fd(self, rng):
+        x = rng.normal(size=(40, 3)).astype(np.float32)
+        y = rng.normal(size=(50, 3)).astype(np.float32)
+
+        def f(x):
+            return chamfer_distance(x, jnp.asarray(y), backend="xla")
+
+        g = np.asarray(jax.grad(f)(jnp.asarray(x)))
+        # central finite differences on a few coordinates
+        eps = 1e-3
+        for (i, d) in [(0, 0), (7, 1), (21, 2), (39, 0)]:
+            xp = x.copy(); xp[i, d] += eps
+            xm = x.copy(); xm[i, d] -= eps
+            fd = (float(f(jnp.asarray(xp))) - float(f(jnp.asarray(xm)))) / (2 * eps)
+            np.testing.assert_allclose(g[i, d], fd, atol=2e-3)
+
+    def test_grad_flows_to_both_inputs(self, rng):
+        x = jnp.asarray(rng.normal(size=(30, 3)), dtype=jnp.float32)
+        y = jnp.asarray(rng.normal(size=(30, 3)), dtype=jnp.float32)
+        gx, gy = jax.grad(
+            lambda x, y: chamfer_distance(x, y, backend="xla"), argnums=(0, 1)
+        )(x, y)
+        assert float(jnp.abs(gx).sum()) > 0 and float(jnp.abs(gy).sum()) > 0
+
+    def test_vmap(self, rng):
+        xs = rng.normal(size=(3, 64, 3)).astype(np.float32)
+        ys = rng.normal(size=(3, 80, 3)).astype(np.float32)
+        batched = jax.vmap(lambda a, b: chamfer_distance(a, b, backend="xla"))(
+            jnp.asarray(xs), jnp.asarray(ys)
+        )
+        for b in range(3):
+            np.testing.assert_allclose(
+                float(batched[b]), brute_chamfer(xs[b], ys[b], 1), rtol=1e-5
+            )
+
+
+class TestKMeans:
+    def test_lloyd_converges_to_sklearn(self, rng):
+        from sklearn.cluster import k_means as sk_kmeans
+
+        pts = np.concatenate(
+            [rng.normal(loc=c, scale=0.05, size=(100, 3)) for c in
+             [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1)]]
+        ).astype(np.float32)
+        init = np.asarray([(0.1, 0, 0), (0.9, 0.1, 0), (0, 0.9, 0), (0, 0, 1.1)], np.float32)
+        res = lloyd(jnp.asarray(pts), jnp.asarray(init), iters=32)
+        sk_centers, sk_labels, _ = sk_kmeans(pts, 4, init=init, n_init=1)
+        # same partition (up to identical label ids since both warm-start)
+        np.testing.assert_array_equal(np.asarray(res.labels), sk_labels)
+        np.testing.assert_allclose(np.asarray(res.centers), sk_centers, atol=1e-4)
+
+    def test_warm_start_preserves_cluster_identity(self, rng):
+        # moving clusters slightly should keep labels stable under warm start
+        pts = np.concatenate(
+            [rng.normal(loc=c, scale=0.03, size=(50, 3)) for c in
+             [(0, 0, 0), (1, 1, 1)]]
+        ).astype(np.float32)
+        init = np.asarray([(0.05, 0, 0), (0.95, 1, 1)], np.float32)
+        res = lloyd(jnp.asarray(pts), jnp.asarray(init), iters=16)
+        assert set(np.asarray(res.labels[:50])) == {0}
+        assert set(np.asarray(res.labels[50:])) == {1}
+
+    def test_kmeanspp_full(self, rng):
+        pts = rng.normal(size=(200, 3)).astype(np.float32)
+        res = kmeans(jax.random.PRNGKey(0), jnp.asarray(pts), k=8, iters=16, n_init=2)
+        assert res.labels.shape == (200,)
+        assert len(np.unique(np.asarray(res.labels))) == 8
+        assert np.isfinite(float(res.inertia))
+
+    def test_mask_excludes_points(self, rng):
+        pts = rng.normal(size=(100, 3)).astype(np.float32)
+        pts[50:] += 100.0  # junk region
+        mask = np.arange(100) < 50
+        init = pts[:4].copy()
+        res = lloyd(jnp.asarray(pts), jnp.asarray(init), iters=16, mask=jnp.asarray(mask))
+        assert np.all(np.abs(np.asarray(res.centers)) < 10)
+
+
+class TestFPS:
+    def test_spreads_points(self, rng):
+        pts = rng.normal(size=(500, 3)).astype(np.float32)
+        idx = np.asarray(farthest_point_sample(jnp.asarray(pts), 50))
+        assert len(np.unique(idx)) == 50
+        # FPS min pairwise distance should beat random sampling's
+        sub = pts[idx]
+        d = np.linalg.norm(sub[:, None] - sub[None, :], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        rnd = pts[rng.choice(500, 50, replace=False)]
+        dr = np.linalg.norm(rnd[:, None] - rnd[None, :], axis=-1)
+        np.fill_diagonal(dr, np.inf)
+        assert d.min() > dr.min()
+
+    def test_starts_at_zero(self, rng):
+        pts = rng.normal(size=(100, 3)).astype(np.float32)
+        idx = np.asarray(farthest_point_sample(jnp.asarray(pts), 10))
+        assert idx[0] == 0
+
+    def test_mask(self, rng):
+        pts = rng.normal(size=(100, 3)).astype(np.float32)
+        mask = np.arange(100) >= 30  # first 30 invalid
+        idx = np.asarray(farthest_point_sample(jnp.asarray(pts), 20, jnp.asarray(mask)))
+        assert np.all(idx >= 30)
