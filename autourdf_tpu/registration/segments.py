@@ -1,0 +1,58 @@
+"""Initial cluster segmentation of frame 0.
+
+Rebuilds Segments.k_means_cluster (/root/reference/PointCloud/cluster_icp.py:47-107):
+k-means++ over the first frame's points into ``num_seg`` clusters, each
+cluster given an identity-rotation coordinate frame at its centroid, and
+points expressed in that local frame.  Device-resident, flat layout
+(points + labels) instead of ragged per-cluster lists.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.kmeans import kmeans
+from .optimizer import transform_by_labels
+
+
+class SegmentInit(NamedTuple):
+    matrices: jax.Array  # (K, 4, 4) identity-rotation frames at centroids
+    points: jax.Array    # (N, 3) frame-0 points in their cluster's local frame
+    labels: jax.Array    # (N,) int32 cluster assignment
+
+
+def local_points_from_labels(
+    matrices: jax.Array, world_points: jax.Array, labels: jax.Array
+) -> jax.Array:
+    """Map world points into their assigned cluster's local frame."""
+    inv_rots = jnp.swapaxes(matrices[labels, :3, :3], -1, -2)
+    ts = matrices[labels, :3, 3]
+    return jnp.einsum(
+        "nij,nj->ni", inv_rots, world_points - ts, precision="highest"
+    )
+
+
+def initial_segments(
+    key: jax.Array,
+    frame0: jax.Array,
+    num_seg: int,
+    mask: jax.Array | None = None,
+    kmeans_iters: int = 64,
+    n_init: int = 4,
+) -> SegmentInit:
+    res = kmeans(key, frame0, num_seg, iters=kmeans_iters, mask=mask, n_init=n_init)
+    # cluster frames: identity rotation at the *mean of member points*
+    # (reference recomputes the mean rather than using the k-means center —
+    # identical at convergence, but keep the same definition)
+    centers = res.centers
+    eye = jnp.tile(jnp.eye(4, dtype=frame0.dtype), (num_seg, 1, 1))
+    matrices = eye.at[:, :3, 3].set(centers)
+    local = frame0 - centers[res.labels]
+    return SegmentInit(matrices, local, res.labels)
+
+
+def world_points(seg_matrices: jax.Array, points: jax.Array, labels: jax.Array) -> jax.Array:
+    return transform_by_labels(seg_matrices, points, labels)

@@ -1,0 +1,179 @@
+"""Registration stack tests: model, optimizer scan, full-sequence pipeline.
+
+Uses a synthetic 2-link hinge robot (two point-sampled boxes, one rotating
+about the z-axis) — small enough for CPU, articulated enough to exercise
+the step/anchor/resample loop end to end.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from autourdf_tpu.models import PoseRegressor, init_params
+from autourdf_tpu.registration import (
+    RegistrationConfig,
+    initial_segments,
+    predicted_world_points,
+    register_sequence,
+    train_pose_mlp,
+    transform_by_labels,
+)
+from autourdf_tpu.registration.optimizer import (
+    PlateauState,
+    plateau_init,
+    plateau_update,
+)
+
+
+def hinge_frames(num_frames=4, n_per_link=200, angle_step=0.15, seed=0):
+    """Synthetic 2-link robot: base box + arm box rotating about z at origin."""
+    rng = np.random.default_rng(seed)
+    base = rng.uniform([-0.6, -0.15, -0.1], [-0.1, 0.15, 0.1], size=(n_per_link, 3))
+    arm0 = rng.uniform([0.1, -0.1, -0.08], [0.7, 0.1, 0.08], size=(n_per_link, 3))
+    frames = []
+    for t in range(num_frames):
+        a = t * angle_step
+        rot = np.array(
+            [[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0], [0, 0, 1]]
+        )
+        frames.append(np.concatenate([base, arm0 @ rot.T]).astype(np.float32))
+    return jnp.asarray(np.stack(frames))
+
+
+class TestModel:
+    @pytest.mark.parametrize("mode", ["q", "dq", "rpy", "6d"])
+    def test_output_near_input_at_init(self, mode):
+        # residual design: a freshly initialized MLP should perturb poses
+        # only mildly (small random residuals), not destroy them
+        model, params = init_params(jax.random.PRNGKey(0), mode, 6, hidden_dim=64)
+        m = jnp.tile(jnp.eye(4), (6, 1, 1)).at[:, :3, 3].add(
+            jnp.asarray(np.random.default_rng(1).normal(size=(6, 3)) * 0.3, jnp.float32)
+        )
+        out = model.apply(params, m)
+        assert out.shape == (6, 4, 4)
+        # rotation part stays orthonormal
+        rtr = jnp.einsum("kij,kil->kjl", out[:, :3, :3], out[:, :3, :3])
+        np.testing.assert_allclose(rtr, np.tile(np.eye(3), (6, 1, 1)), atol=1e-5)
+        # translations move by bounded residual
+        assert float(jnp.abs(out[:, :3, 3] - m[:, :3, 3]).max()) < 1.0
+
+    def test_grad_flows(self):
+        model, params = init_params(jax.random.PRNGKey(0), "q", 4, hidden_dim=32)
+        m = jnp.tile(jnp.eye(4), (4, 1, 1))
+
+        def loss(p):
+            return jnp.sum(model.apply(p, m)[:, :3, 3] ** 2)
+
+        g = jax.grad(loss)(params)
+        total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
+        assert np.isfinite(total) and total > 0
+
+
+class TestPlateauScheduler:
+    def test_matches_pytorch_semantics(self):
+        # loss sequence with a long plateau: lr must drop after patience+1
+        # consecutive non-improving epochs
+        s = plateau_init(1.0)
+        losses = [1.0, 0.9, 0.9, 0.9, 0.9, 0.9, 0.9, 0.9]
+        lrs = []
+        for l in losses:
+            s = plateau_update(s, jnp.asarray(l), factor=0.5, patience=2)
+            lrs.append(float(s.lr))
+        # epochs: 1.0 improves (inf->1), 0.9 improves, then 5 bad epochs:
+        # bad=1,2,3>2 -> reduce at 3rd bad epoch, counter resets, again at 6th
+        assert lrs == [1.0, 1.0, 1.0, 1.0, 0.5, 0.5, 0.5, 0.25]
+
+
+class TestTrainPoseMLP:
+    def test_recovers_rigid_translation(self):
+        # one cluster of points shifted by a known offset; the MLP pose
+        # refinement should recover it via the chamfer objective
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.normal(size=(200, 3)) * 0.2, jnp.float32)
+        offset = jnp.asarray([0.15, -0.1, 0.05], jnp.float32)
+        target = pts + offset
+        labels = jnp.zeros((200,), jnp.int32)
+        m0 = jnp.eye(4)[None]
+
+        model, params = init_params(jax.random.PRNGKey(1), "q", 1, hidden_dim=64)
+        res = train_pose_mlp(
+            model, params, m0, target, pts, labels,
+            epochs=150, learning_rate=2e-3, chamfer_backend="xla",
+        )
+        assert float(res.best_loss) < 0.04
+        np.testing.assert_allclose(
+            np.asarray(res.best_matrices[0, :3, 3]), np.asarray(offset), atol=0.05
+        )
+
+    def test_best_loss_is_min_of_history(self):
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.normal(size=(100, 3)) * 0.2, jnp.float32)
+        target = pts + jnp.asarray([0.1, 0, 0])
+        model, params = init_params(jax.random.PRNGKey(1), "q", 1, hidden_dim=32)
+        res = train_pose_mlp(
+            model, params, jnp.eye(4)[None], target, pts,
+            jnp.zeros((100,), jnp.int32), epochs=50, learning_rate=1e-3,
+            chamfer_backend="xla",
+        )
+        finite = np.asarray(res.loss_history)
+        finite = finite[np.isfinite(finite)]
+        np.testing.assert_allclose(float(res.best_loss), finite.min(), rtol=1e-6)
+
+    def test_early_stop_freezes(self):
+        # with stop_patience=0, the run freezes after the first non-improving
+        # epoch; history should be inf past that point
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.normal(size=(50, 3)), jnp.float32)
+        model, params = init_params(jax.random.PRNGKey(1), "q", 1, hidden_dim=32)
+        res = train_pose_mlp(
+            model, params, jnp.eye(4)[None], pts, pts,
+            jnp.zeros((50,), jnp.int32), epochs=40, learning_rate=1e-3,
+            stop_patience=0, chamfer_backend="xla",
+        )
+        hist = np.asarray(res.loss_history)
+        assert np.isinf(hist[-1])  # froze before the end
+
+
+class TestSequencePipeline:
+    def test_two_link_sequence(self):
+        frames = hinge_frames(num_frames=4, angle_step=0.12)
+        key = jax.random.PRNGKey(0)
+        init = initial_segments(key, frames[0], num_seg=4, n_init=2)
+        cfg = RegistrationConfig(
+            num_seg=4, epochs=80, chamfer_backend="xla", kmeans_iters=16,
+            lr_step=1e-3, lr_anchor=5e-4,
+        )
+        model = PoseRegressor(mode="q", hidden_dim=64)
+        _, sp = init_params(jax.random.PRNGKey(1), "q", 4, 64)
+        _, ap = init_params(jax.random.PRNGKey(2), "q", 4, 64)
+        res = register_sequence(model, cfg, sp, ap, init, frames)
+
+        assert res.matrices.shape == (4, 4, 4, 4)
+        assert res.local_points.shape == frames.shape
+        assert res.losses.shape == (3,)
+        # registered world points at each frame should be close to the frame
+        from autourdf_tpu.ops import chamfer_distance
+
+        for t in range(1, 4):
+            pred = predicted_world_points(res, t)
+            d = float(chamfer_distance(pred, frames[t], backend="xla"))
+            assert d < 0.05, f"frame {t}: chamfer {d}"
+
+    def test_moving_cluster_follows_arm(self):
+        # clusters assigned to the rotating arm must actually move
+        frames = hinge_frames(num_frames=3, angle_step=0.25)
+        init = initial_segments(jax.random.PRNGKey(0), frames[0], num_seg=4, n_init=2)
+        cfg = RegistrationConfig(num_seg=4, epochs=80, chamfer_backend="xla",
+                                 lr_step=1e-3, lr_anchor=5e-4, kmeans_iters=16)
+        model = PoseRegressor(mode="q", hidden_dim=64)
+        _, sp = init_params(jax.random.PRNGKey(1), "q", 4, 64)
+        _, ap = init_params(jax.random.PRNGKey(2), "q", 4, 64)
+        res = register_sequence(model, cfg, sp, ap, init, frames)
+
+        centers0 = np.asarray(res.matrices[0, :, :3, 3])
+        centers2 = np.asarray(res.matrices[2, :, :3, 3])
+        moved = np.linalg.norm(centers2 - centers0, axis=1)
+        arm_clusters = centers0[:, 0] > 0  # arm lives at x > 0
+        assert moved[arm_clusters].max() > 0.05
+        assert moved[~arm_clusters].min() < moved[arm_clusters].max()
