@@ -1,0 +1,142 @@
+"""Command-line interface — one binary, four subcommands.
+
+Replaces the reference's three shell scripts + evaluation entry point
+(scripts/{dataset,registration,generate_urdf}.sh, Sim/evaluation.py) and
+their duplicated argparse blocks:
+
+    python -m autourdf_tpu.cli dataset   --robot wx200_5
+    python -m autourdf_tpu.cli register  --robot wx200_5
+    python -m autourdf_tpu.cli urdf      --robot wx200_5 --unknown-dof
+    python -m autourdf_tpu.cli evaluate  --robot wx200_5
+    python -m autourdf_tpu.cli all       --robot wx200_5   (full pipeline)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .config import PipelineConfig, load_parameters_json
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--robot", type=str, default="wx200_5")
+    p.add_argument("--data-root", type=str, default="data")
+    p.add_argument("--step-size", type=int, default=4, help="motor step size (deg)")
+    p.add_argument("--num-cameras", type=int, default=20)
+    p.add_argument("--num-step", type=int, default=10, help="frames per sequence")
+    p.add_argument("--num-video", type=int, default=5, help="number of sequences")
+    p.add_argument("--num-points", type=int, default=5000)
+    p.add_argument("--parameters-json", type=str, default=None,
+                   help="overlay a reference-format parameters.json")
+    p.add_argument("--asset-root", type=str, default=None)
+    p.add_argument("--seed", type=int, default=2024)
+
+
+def _cfg(args) -> PipelineConfig:
+    if args.parameters_json:
+        load_parameters_json(args.parameters_json)
+    return PipelineConfig(
+        robot=args.robot,
+        data_root=args.data_root,
+        step_size_deg=args.step_size,
+        num_cameras=args.num_cameras,
+        num_step=args.num_step,
+        num_videos=args.num_video,
+        num_points=args.num_points,
+        seed=args.seed,
+        rot=getattr(args, "r", "q"),
+        epochs=getattr(args, "epochs", 300),
+        end_steps=getattr(args, "end_steps", args.num_step),
+        noise=not getattr(args, "no_noise", False),
+    )
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="autourdf-tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("dataset", help="generate multi-view point cloud sequences")
+    _add_common(p)
+    p.add_argument("--ground", action="store_true")
+    p.add_argument("--no_noise", action="store_true")
+    p.add_argument("--epoch", type=int, default=5, help="collision-free sequences")
+    p.add_argument("--pix", type=int, default=800)
+
+    p = sub.add_parser("register", help="cluster registration over all sequences")
+    _add_common(p)
+    p.add_argument("--r", type=str, default="q", choices=["q", "rpy", "dq", "6d"])
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--backend", type=str, default="auto",
+                   choices=["auto", "pallas", "xla"])
+
+    p = sub.add_parser("urdf", help="structure discovery -> URDF")
+    _add_common(p)
+    p.add_argument("--unknown-dof", "--unknown_dof", action="store_true",
+                   dest="unknown_dof")
+    p.add_argument("--start-steps", type=int, default=0)
+    p.add_argument("--end-steps", dest="end_steps", type=int, default=10)
+    p.add_argument("--end-video", "--end_video", dest="end_video", type=int, default=1)
+    p.add_argument("--dist-mode", type=str, default="pose",
+                   choices=["pose", "diff", "legacy"])
+
+    p = sub.add_parser("evaluate", help="joint accuracy + resim chamfer vs gt")
+    _add_common(p)
+    p.add_argument("--joint-map", type=str, default=None,
+                   help="path to a reference-format joint index map txt")
+    p.add_argument("--num-configs", type=int, default=3)
+
+    p = sub.add_parser("all", help="dataset -> register -> urdf -> evaluate")
+    _add_common(p)
+    p.add_argument("--r", type=str, default="q", choices=["q", "rpy", "dq", "6d"])
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--end-video", dest="end_video", type=int, default=1)
+    p.add_argument("--epoch", type=int, default=5)
+    p.add_argument("--pix", type=int, default=800)
+    p.add_argument("--ground", action="store_true")
+    p.add_argument("--no_noise", action="store_true")
+
+    args = parser.parse_args(argv)
+    cfg = _cfg(args)
+
+    from . import workflow
+
+    if args.cmd == "dataset":
+        dirs = workflow.run_dataset(cfg, asset_root=args.asset_root,
+                                    ground=args.ground, epochs=args.epoch)
+        print(json.dumps({"sequences": dirs}))
+    elif args.cmd == "register":
+        stats = workflow.run_registration(cfg, chamfer_backend=args.backend)
+        print(json.dumps(stats))
+    elif args.cmd == "urdf":
+        cfg = cfg.replace(start_steps=args.start_steps, end_steps=args.end_steps)
+        out = workflow.run_build_urdf(
+            cfg, unknown_dof=args.unknown_dof, dist_mode=args.dist_mode,
+            end_video=args.end_video,
+        )
+        print(json.dumps({"urdf": out["urdf_path"], "links": out["num_links"],
+                          "dof": out["dof"]}))
+    elif args.cmd == "evaluate":
+        import numpy as np
+
+        jm = np.loadtxt(args.joint_map, dtype=int) if args.joint_map else None
+        out = workflow.run_evaluation(cfg, joint_map=jm, asset_root=args.asset_root,
+                                      num_configs=args.num_configs)
+        print(json.dumps(out))
+    elif args.cmd == "all":
+        workflow.run_dataset(cfg, asset_root=args.asset_root,
+                             ground=args.ground, epochs=args.epoch)
+        workflow.run_registration(cfg)
+        out = workflow.run_build_urdf(cfg, unknown_dof=True,
+                                      end_video=args.end_video)
+        ev = workflow.run_evaluation(cfg, asset_root=args.asset_root)
+        print(json.dumps({"urdf": out["urdf_path"], "dof": out["dof"],
+                          "dir_err_deg": ev["dir_mean"],
+                          "pos_err_m": ev["pos_mean"],
+                          "chamfer": ev["chamfer_mean"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,119 @@
+"""Joint-accuracy evaluation: predicted URDF vs ground truth.
+
+Rebuilds compare_joints (/root/reference/Sim/evaluation.py:84-224) on our
+FK stack: load both URDFs, compute world-frame axis lines of the first
+``dof`` revolute joints (gt posed at the recorded start offsets), pair
+them through a joint index map, and report the line-to-line normal
+distance and the axis angle folded at 90 degrees.
+
+The reference requires a hand-authored Sim/joint_map/{robot}.txt
+permutation; we support those files *and* an automatic assignment
+(Hungarian matching on the combined error) when no map is given.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..urdf.fk import joint_world_frames
+from ..urdf.parser import load_urdf
+
+
+def joint_error(pos_a, uv_a, pos_b, uv_b) -> tuple[float, float]:
+    """(normal distance between axis lines, angle between axes in deg)."""
+    cross = np.cross(uv_a, uv_b)
+    cmag = np.linalg.norm(cross)
+    diff = np.asarray(pos_b) - np.asarray(pos_a)
+    if cmag == 0:
+        pos_error = np.linalg.norm(np.cross(diff, uv_a))
+    else:
+        pos_error = abs(diff @ cross) / cmag
+    dot = float(np.clip(np.dot(uv_a, uv_b), -1.0, 1.0))
+    return float(pos_error), float(np.degrees(np.arccos(dot)))
+
+
+@dataclass
+class JointComparison:
+    pos_errors: list[float]
+    dir_errors: list[float]
+    direction_map: list[int]   # +1 / -1 per joint (axis flipped vs gt)
+    joint_map: np.ndarray      # pred joint index used for each gt joint
+
+
+def _world_axes(urdf_path, base_orientation, q, dof, global_scale, asset_root):
+    from scipy.spatial.transform import Rotation as ScipyRot
+
+    model = load_urdf(urdf_path, asset_root=asset_root, load_meshes=False,
+                      global_scale=global_scale)
+    base = np.eye(4)
+    base[:3, :3] = ScipyRot.from_euler("xyz", base_orientation).as_matrix()
+    frames = joint_world_frames(model, q, base)
+    return frames[:dof] if dof else frames
+
+
+def compare_joints(
+    pred_urdf_path: str,
+    gt_urdf_path: str,
+    dof: int,
+    offset: np.ndarray | None = None,
+    sim_ori=(0, 0, 0),
+    pred_ori=(0, 0, 0),
+    joint_map: np.ndarray | None = None,
+    global_scale: float = 1.0,
+    asset_root: str | None = None,
+) -> JointComparison:
+    pred_all = _world_axes(pred_urdf_path, pred_ori, None, None, global_scale, asset_root)
+
+    gt_model = load_urdf(gt_urdf_path, asset_root=asset_root, load_meshes=False)
+    q = {}
+    if offset is not None:
+        for j, o in zip(gt_model.revolute_joints[:dof], offset):
+            q[j.name] = float(o)
+    from scipy.spatial.transform import Rotation as ScipyRot
+
+    gt_base = np.eye(4)
+    gt_base[:3, :3] = ScipyRot.from_euler("xyz", sim_ori).as_matrix()
+    gt_frames = joint_world_frames(gt_model, q, gt_base, dof=dof)
+
+    n = min(dof, len(gt_frames))
+    if joint_map is None:
+        # automatic assignment: Hungarian on pos + scaled dir error.
+        # When the predicted URDF has fewer joints than the gt dof
+        # (under-discovered DoF), unmatched gt joints get map entry -1 and
+        # are skipped in the error lists.
+        from scipy.optimize import linear_sum_assignment
+
+        np_pred = len(pred_all)
+        cost = np.full((n, max(np_pred, 1)), 1e6)
+        for gi in range(n):
+            for pi in range(np_pred):
+                pe, de = joint_error(
+                    pred_all[pi].position, pred_all[pi].axis,
+                    gt_frames[gi].position, gt_frames[gi].axis,
+                )
+                de = min(de, 180.0 - de)
+                cost[gi, pi] = pe + de / 90.0
+        rows, cols = linear_sum_assignment(cost)
+        joint_map = np.full(n, -1, dtype=int)
+        joint_map[rows] = cols
+    else:
+        joint_map = np.asarray(joint_map, dtype=int)
+
+    pos_errors, dir_errors, dir_map = [], [], []
+    for gi in range(n):
+        if joint_map[gi] < 0 or joint_map[gi] >= len(pred_all):
+            dir_map.append(1)
+            continue
+        p = pred_all[joint_map[gi]]
+        g = gt_frames[gi]
+        pe, de = joint_error(p.position, p.axis, g.position, g.axis)
+        if de > 90.0:
+            de = 180.0 - de
+            dir_map.append(-1)
+        else:
+            dir_map.append(1)
+        pos_errors.append(pe)
+        dir_errors.append(de)
+    return JointComparison(pos_errors, dir_errors, dir_map, joint_map)

@@ -1,0 +1,15 @@
+from .screw import (
+    JointEstimate,
+    cluster_pose_mean,
+    estimate_joints_from_tree,
+    optimize_joint_axis,
+    screw_axes_from_pose_series,
+)
+
+__all__ = [
+    "JointEstimate",
+    "estimate_joints_from_tree",
+    "optimize_joint_axis",
+    "screw_axes_from_pose_series",
+    "cluster_pose_mean",
+]

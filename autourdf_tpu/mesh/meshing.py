@@ -1,0 +1,94 @@
+"""Link mesh generation: point cloud -> watertight STL.
+
+Rebuilds link_mesh (/root/reference/PointCloud/link.py:204-318):
+statistical outlier removal (20 NN, 2 sigma) -> voxel occupancy at the
+robot's configured voxel size -> isosurface (marching tetrahedra, closed
+by construction — no pymeshfix needed) -> one Laplacian smoothing pass ->
+binary STL per link.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+from ..io.mesh_io import TriMesh, save_stl
+from .marching import marching_tetrahedra
+
+
+def remove_statistical_outliers(
+    points: np.ndarray, nb_neighbors: int = 20, std_ratio: float = 2.0
+) -> np.ndarray:
+    """Open3D remove_statistical_outlier semantics: drop points whose mean
+    distance to their nb_neighbors nearest neighbors exceeds
+    mean + std_ratio * std of that statistic."""
+    if len(points) <= nb_neighbors:
+        return points
+    tree = cKDTree(points)
+    d, _ = tree.query(points, k=nb_neighbors + 1)
+    mean_d = d[:, 1:].mean(axis=1)
+    mu, sigma = mean_d.mean(), mean_d.std()
+    return points[mean_d <= mu + std_ratio * sigma]
+
+
+def voxelize(points: np.ndarray, voxel_size: float) -> tuple[np.ndarray, np.ndarray]:
+    """Occupancy volume + origin from a point cloud (Open3D VoxelGrid +
+    dense volume, link.py:225-245)."""
+    lo = points.min(0)
+    idx = np.floor((points - lo) / voxel_size).astype(np.int64)
+    dims = idx.max(0) + 1
+    vol = np.zeros(dims, dtype=bool)
+    vol[idx[:, 0], idx[:, 1], idx[:, 2]] = True
+    return vol, lo
+
+
+def laplacian_smooth(mesh: TriMesh, iterations: int = 1) -> TriMesh:
+    """Uniform-weight Laplacian smoothing (filter_smooth_simple)."""
+    v = mesh.vertices.copy()
+    f = mesh.faces
+    n = len(v)
+    edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], axis=0)
+    src = np.concatenate([edges[:, 0], edges[:, 1]])
+    dst = np.concatenate([edges[:, 1], edges[:, 0]])
+    for _ in range(iterations):
+        acc = np.zeros_like(v)
+        cnt = np.zeros(n)
+        np.add.at(acc, src, v[dst])
+        np.add.at(cnt, src, 1.0)
+        nonzero = cnt > 0
+        v[nonzero] = acc[nonzero] / cnt[nonzero, None]
+    return TriMesh(v, f)
+
+
+def cloud_to_mesh(
+    points: np.ndarray,
+    voxel_size: float,
+    nb_neighbors: int = 20,
+    std_ratio: float = 2.0,
+    smooth_iterations: int = 1,
+) -> TriMesh:
+    pts = remove_statistical_outliers(points, nb_neighbors, std_ratio)
+    vol, origin = voxelize(pts, voxel_size)
+    mesh = marching_tetrahedra(vol, voxel_size, origin)
+    if smooth_iterations > 0 and len(mesh.faces) > 0:
+        mesh = laplacian_smooth(mesh, smooth_iterations)
+    return mesh
+
+
+def generate_link_meshes(
+    link_clouds: list[np.ndarray],
+    out_dir: str,
+    voxel_size: float,
+    smooth_iterations: int = 1,
+) -> list[str]:
+    """Mesh every link cloud and write {link:04}.stl (link.py:314)."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i, cloud in enumerate(link_clouds):
+        mesh = cloud_to_mesh(cloud, voxel_size, smooth_iterations=smooth_iterations)
+        path = os.path.join(out_dir, f"{i:04}.stl")
+        save_stl(path, mesh)
+        paths.append(path)
+    return paths

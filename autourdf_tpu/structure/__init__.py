@@ -1,0 +1,26 @@
+from .clustering import coord_clustering, silhouette_dof_search, single_linkage_components
+from .coord_map import CoordMap, combined_sum_map
+from .links import (
+    LinkArtifacts,
+    canonical_link_clouds,
+    consolidate_links,
+    refine_link_clusters,
+    save_link_artifacts,
+)
+from .tree import LinkNode, cluster_mst, kinematics_tree
+
+__all__ = [
+    "CoordMap",
+    "combined_sum_map",
+    "coord_clustering",
+    "silhouette_dof_search",
+    "single_linkage_components",
+    "cluster_mst",
+    "kinematics_tree",
+    "LinkNode",
+    "consolidate_links",
+    "refine_link_clusters",
+    "canonical_link_clouds",
+    "save_link_artifacts",
+    "LinkArtifacts",
+]

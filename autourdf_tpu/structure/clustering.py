@@ -1,0 +1,73 @@
+"""Cluster -> link grouping and DoF discovery.
+
+Rebuilds coord_clustering + silhouette_score_method
+(/root/reference/PointCloud/coord_map.py:70-129).  The reference's
+decreasing-threshold connectivity sweep is exactly single-linkage
+agglomerative clustering, so we compute it directly from the linkage
+dendrogram (identical partitions, no 1e-4 threshold quantization), and
+score candidate link counts with the silhouette coefficient on the
+precomputed dissimilarity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.cluster.hierarchy import fcluster, linkage
+from scipy.spatial.distance import squareform
+from sklearn.metrics import silhouette_score
+
+
+def single_linkage_components(d_map: np.ndarray, num_links: int) -> np.ndarray:
+    """Labels (K,) of the single-linkage partition into >= num_links groups.
+
+    Equivalent to the reference's ``threshold -= 1e-4`` sweep over
+    ``d < threshold`` connectivity: components merge in order of edge
+    weight, so cutting the dendrogram at ``num_links`` clusters reproduces
+    the first threshold where the component count reaches num_links.
+    """
+    d = np.asarray(d_map, dtype=np.float64)
+    d = 0.5 * (d + d.T)
+    np.fill_diagonal(d, 0.0)
+    Z = linkage(squareform(d, checks=False), method="single")
+    labels = fcluster(Z, t=num_links, criterion="maxclust") - 1
+    return labels
+
+
+def labels_to_groups(labels: np.ndarray) -> list[set[int]]:
+    return [set(np.where(labels == g)[0].tolist()) for g in np.unique(labels)]
+
+
+def coord_clustering(
+    d_map: np.ndarray, num_links: int
+) -> tuple[list[set[int]], np.ndarray, float]:
+    """Group clusters into links; returns (groups, labels, silhouette)."""
+    d = 0.5 * (np.asarray(d_map, np.float64) + np.asarray(d_map, np.float64).T)
+    np.fill_diagonal(d, 0.0)  # sklearn rejects float-noise diagonals
+    labels = single_linkage_components(d, num_links)
+    n_groups = len(np.unique(labels))
+    if 1 < n_groups < len(labels):
+        score = float(silhouette_score(d, labels, metric="precomputed"))
+    else:
+        score = -1.0
+    return labels_to_groups(labels), labels, score
+
+
+def silhouette_dof_search(
+    d_map: np.ndarray, link_range: tuple[int, int] | None = None
+) -> tuple[list[set[int]], np.ndarray, list[float], np.ndarray]:
+    """Scan link counts, pick max silhouette -> DoF = links - 1.
+
+    Default range matches the reference main(): (4, min(25, K)), upper
+    exclusive (coord_map.py:685-706).
+    """
+    k = d_map.shape[0]
+    if link_range is None:
+        link_range = (4, min(25, k))
+    nls = np.arange(link_range[0], link_range[1])
+    scores = []
+    for nl in nls:
+        _, _, s = coord_clustering(d_map, int(nl))
+        scores.append(s)
+    best = int(nls[int(np.argmax(scores))])
+    groups, labels, _ = coord_clustering(d_map, best)
+    return groups, labels, scores, nls

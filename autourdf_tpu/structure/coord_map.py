@@ -1,0 +1,154 @@
+"""Motion-correlation coordinate maps.
+
+Rebuilds CoordMap.coord_dist_map (/root/reference/PointCloud/coord_map.py:131-332)
+with the O(T*K^2) python loops collapsed into vectorized numpy/JAX: the
+(K, K) per-step dissimilarity between cluster trajectories, in three
+flavors matching the reference's flags:
+
+- ``mode="pose"``  (reference diff=False, the default CLI path): per step,
+  lambda_bbox * ||p_j - p_k|| + (1/pi) * geodesic(R_j, R_k), summed |.|
+  over steps.
+- ``mode="diff"``  (reference diff=True): per step, first the motion-delta
+  distance map (translation deltas bbox-normalized; rotation deltas as
+  rotvec geodesic / pi), then the second-order row-distance map, summed.
+- ``mode="legacy"``: step-0-relative translation + raw quaternion
+  component distances, min-max normalized.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+from scipy.spatial.transform import Rotation as ScipyRot
+
+
+def _pairwise_norm(x: np.ndarray) -> np.ndarray:
+    """(..., K, D) -> (..., K, K) euclidean distance along last dim."""
+    diff = x[..., :, None, :] - x[..., None, :, :]
+    return np.linalg.norm(diff, axis=-1)
+
+
+def _geodesic_pairwise(rots: np.ndarray) -> np.ndarray:
+    """(K, 3, 3) -> (K, K) rotation geodesic angles."""
+    rel = np.einsum("kji,ljm->klim", rots, rots)  # R_k^T R_l
+    tr = np.trace(rel, axis1=-2, axis2=-1)
+    return np.arccos(np.clip((tr - 1.0) * 0.5, -1.0, 1.0))
+
+
+def _rotvec_geodesic_pairwise(rv: np.ndarray) -> np.ndarray:
+    """(K, 3) rotation vectors -> (K, K) geodesic angles between them."""
+    q = ScipyRot.from_rotvec(rv).as_quat()  # (K, 4) xyzw
+    dots = np.abs(q @ q.T).clip(0.0, 1.0)
+    return 2.0 * np.arccos(dots)
+
+
+@dataclass
+class CoordMap:
+    """Per-sequence registered trajectories of the K cluster frames."""
+
+    matrices: np.ndarray          # (T, K, 4, 4)
+    coords: np.ndarray            # (T, K, 7) xyz + quat(wxyz)
+    cluster_points: list          # T x (N_t, 3) local-frame flat points
+    cluster_labels: list          # T x (N_t,)
+    bbox_diag: float              # diagonal of the union of raw clouds
+
+    @property
+    def num_coords(self) -> int:
+        return self.coords.shape[1]
+
+    @property
+    def scale(self) -> float:
+        """Spatial extent of the frame-0 cluster centers (viz sizing)."""
+        span = self.coords[0, :, :3].max(0) - self.coords[0, :, :3].min(0)
+        return float(span.max())
+
+    @classmethod
+    def from_arrays(
+        cls, matrices, cluster_points, cluster_labels, raw_clouds
+    ) -> "CoordMap":
+        from ..core import rotations as R
+        import jax.numpy as jnp
+
+        m = np.asarray(matrices, dtype=np.float64)
+        quat = np.asarray(R.matrix_to_quat(jnp.asarray(m[..., :3, :3], jnp.float32)))
+        coords = np.concatenate([m[..., :3, 3], quat], axis=-1)
+        allpts = np.concatenate([np.asarray(c) for c in raw_clouds], axis=0)
+        diag = float(np.linalg.norm(allpts.max(0) - allpts.min(0)))
+        return cls(m, coords, list(cluster_points), list(cluster_labels), diag)
+
+    # ------------------------------------------------------------------
+
+    def dist_map(self, mode: str = "pose") -> tuple[np.ndarray, np.ndarray]:
+        """Returns (per-step (K, K, T') maps, summed (K, K) map)."""
+        if mode == "pose":
+            maps = self._pose_maps()
+        elif mode == "diff":
+            maps = self._diff_maps()
+        elif mode == "legacy":
+            maps = self._legacy_maps()
+        else:
+            raise ValueError(f"unknown dist map mode {mode!r}")
+        stacked = np.stack(maps, axis=2)
+        sum_map = np.sum(np.abs(stacked), axis=2)
+        if mode == "legacy":
+            sum_map = (sum_map - sum_map.min()) / max(sum_map.max() - sum_map.min(), 1e-12)
+        return stacked, sum_map
+
+    def _lambdas(self):
+        return 1.0 / math.pi, 1.0 / (2.0 * self.bbox_diag)
+
+    def _pose_maps(self) -> list[np.ndarray]:
+        lam_rot, lam_bbox = self._lambdas()
+        maps = []
+        for i in range(self.coords.shape[0]):
+            d_xyz = lam_bbox * _pairwise_norm(self.coords[i, :, :3])
+            d_rot = lam_rot * _geodesic_pairwise(self.matrices[i, :, :3, :3])
+            maps.append(d_xyz + d_rot)
+        return maps
+
+    def _diff_maps(self) -> list[np.ndarray]:
+        lam_rot, lam_bbox = self._lambdas()
+        T = self.coords.shape[0]
+        trans_diff = np.diff(self.coords[:, :, :3], axis=0)  # (T-1, K, 3)
+        # per-step relative rotation of each cluster, as rotvec
+        rot_diff = np.zeros((T - 1, self.num_coords, 3))
+        for i in range(T - 1):
+            rel = np.einsum(
+                "kji,kjl->kil", self.matrices[i, :, :3, :3], self.matrices[i + 1, :, :3, :3]
+            )
+            rot_diff[i] = ScipyRot.from_matrix(rel).as_rotvec()
+        maps = []
+        for i in range(T - 1):
+            d_xyz = lam_bbox * _pairwise_norm(trans_diff[i])
+            d_rot = lam_rot * _rotvec_geodesic_pairwise(rot_diff[i])
+            # second-order: distance between dissimilarity profiles
+            trans_dist = _pairwise_norm(d_xyz)
+            rot_dist = _pairwise_norm(d_rot)
+            maps.append(trans_dist + rot_dist)
+        return maps
+
+    def _legacy_maps(self) -> list[np.ndarray]:
+        maps = []
+        for i in range(self.coords.shape[0]):
+            xyz_rel = self.coords[i, :, :3] - self.coords[0, :, :3]
+            d_xyz = _pairwise_norm(xyz_rel)
+            d_q = _pairwise_norm(self.coords[i, :, 3:])
+            maps.append(d_xyz + d_q)
+        return maps
+
+    # ------------------------------------------------------------------
+
+    def summed_center_distance_matrix(self) -> np.ndarray:
+        """Pairwise distances of time-summed xyz centers (MST input,
+        reference coord_mst, coord_map.py:334-348)."""
+        s = np.sum(self.coords[:, :, :3], axis=0)
+        return _pairwise_norm(s)
+
+
+def combined_sum_map(cms: list[CoordMap], mode: str = "pose") -> np.ndarray:
+    """Average the per-sequence sum maps and min-max normalize (main():667-671)."""
+    maps = [cm.dist_map(mode)[1] for cm in cms]
+    m = np.mean(maps, axis=0)
+    return (m - m.min()) / max(m.max() - m.min(), 1e-12)

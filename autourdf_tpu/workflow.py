@@ -1,0 +1,282 @@
+"""End-to-end pipeline stages (the reference's three shell scripts + eval).
+
+    dataset      -> data/raw/...      (sim.datagen.collect)
+    register     -> data/part/...     (registration.pipeline, batched on device)
+    build-urdf   -> data/mesh + data/urdf (structure -> joints -> mesh -> writer)
+    evaluate     -> data/evaluation/...   (eval.joints_eval + eval.resim)
+
+Stage boundaries and artifact layouts match the reference
+(scripts/dataset.sh, scripts/registration.sh, scripts/generate_urdf.sh,
+Sim/evaluation.py) so each stage is independently resumable from disk.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import PipelineConfig, get_robot
+from .io.artifacts import (
+    list_sequence_dirs,
+    load_registration,
+    save_registration,
+)
+from .io.ply import read_ply
+from .models.regmlp import PoseRegressor, init_params
+
+
+def load_raw_sequences(
+    raw_dir: str, num_videos: int, num_points: int | None = None
+) -> tuple[list[str], np.ndarray]:
+    """Read data/raw sequence dirs -> (names, (S, T, N, 3) frames)."""
+    seq_dirs = list_sequence_dirs(raw_dir)[:num_videos]
+    if not seq_dirs:
+        raise FileNotFoundError(f"no raw sequences under {raw_dir}")
+    all_seqs = []
+    for d in seq_dirs:
+        frames = []
+        for fd in sorted(glob.glob(os.path.join(d, "*/"))):
+            ply = os.path.join(fd, "robot.ply")
+            if os.path.exists(ply):
+                frames.append(read_ply(ply))
+        all_seqs.append(np.stack(frames))
+    names = [os.path.basename(os.path.normpath(d)) for d in seq_dirs]
+    return names, np.stack(all_seqs)
+
+
+def run_dataset(cfg: PipelineConfig, asset_root: str | None = None,
+                ground: bool = False, epochs: int = 5) -> list[str]:
+    from .sim.datagen import collect
+
+    return collect(cfg, asset_root=asset_root, ground=ground, epochs=epochs)
+
+
+def run_registration(
+    cfg: PipelineConfig,
+    chamfer_backend: str = "auto",
+    seed: int = 0,
+    verbose: bool = True,
+) -> dict:
+    """Register all sequences in one batched device program; save artifacts."""
+    from .registration import (
+        RegistrationConfig,
+        initial_segments,
+        register_sequences_batched,
+    )
+
+    robot = get_robot(cfg.robot)
+    names, frames = load_raw_sequences(cfg.raw_dir(), cfg.num_videos)
+    S, T, N, _ = frames.shape
+    if verbose:
+        print(f"[register] {S} sequences x {T} frames x {N} points, "
+              f"K={robot.num_seg}, mode={cfg.rot}")
+
+    frames_j = jnp.asarray(frames)
+    key = jax.random.PRNGKey(seed)
+    init = initial_segments(key, frames_j[0, 0], robot.num_seg, n_init=10)
+
+    reg_cfg = RegistrationConfig(
+        num_seg=robot.num_seg, mode=cfg.rot, epochs=cfg.epochs,
+        chamfer_backend=chamfer_backend,
+    )
+    model = PoseRegressor(mode=cfg.rot, hidden_dim=512)
+
+    def make_params(k):
+        _, p = init_params(k, cfg.rot, robot.num_seg, 512)
+        return p
+
+    keys = jax.random.split(jax.random.PRNGKey(seed + 1), 2 * S)
+    step_params = jax.vmap(make_params)(keys[:S])
+    anchor_params = jax.vmap(make_params)(keys[S:])
+
+    t0 = time.time()
+    result = register_sequences_batched(
+        model, reg_cfg, step_params, anchor_params, init, frames_j
+    )
+    jax.block_until_ready(result.matrices)
+    elapsed = time.time() - t0
+    frames_registered = S * (T - 1)
+    if verbose:
+        print(f"[register] {elapsed:.2f}s for {frames_registered} frame pairs "
+              f"({frames_registered / elapsed:.2f} frames/s)")
+
+    for s, name in enumerate(names):
+        save_dir = os.path.join(cfg.part_dir(), name)
+        save_registration(
+            save_dir,
+            np.asarray(result.matrices[s]),
+            np.asarray(result.local_points[s]),
+            np.asarray(result.labels[s]),
+            np.asarray(result.losses[s]),
+        )
+    return {
+        "names": names,
+        "seconds": elapsed,
+        "frames_per_second": frames_registered / elapsed,
+        "final_losses": np.asarray(result.losses[:, -1]).tolist(),
+        "mean_loss": float(np.mean(np.asarray(result.losses))),
+    }
+
+
+def build_coord_maps(cfg: PipelineConfig, num_videos: int | None = None,
+                     start: int = 0, end: int | None = None):
+    from .structure import CoordMap
+
+    part_dirs = list_sequence_dirs(cfg.part_dir())[: num_videos or cfg.num_videos]
+    raw_dirs = list_sequence_dirs(cfg.raw_dir())[: num_videos or cfg.num_videos]
+    cms = []
+    for pd, rd in zip(part_dirs, raw_dirs):
+        art = load_registration(pd, start, end)
+        raw_clouds = [
+            read_ply(os.path.join(fd, "robot.ply"))
+            for fd in sorted(glob.glob(os.path.join(rd, "*/")))
+        ]
+        cms.append(
+            CoordMap.from_arrays(
+                art.matrices, art.cluster_points, art.cluster_labels, raw_clouds
+            )
+        )
+    return cms, part_dirs
+
+
+def run_build_urdf(
+    cfg: PipelineConfig,
+    unknown_dof: bool = True,
+    dist_mode: str = "pose",
+    end_video: int | None = None,
+    verbose: bool = True,
+) -> dict:
+    """Structure discovery -> joints -> link meshes -> URDF file."""
+    from .joints import estimate_joints_from_tree
+    from .mesh import generate_link_meshes
+    from .structure import (
+        canonical_link_clouds,
+        cluster_mst,
+        combined_sum_map,
+        consolidate_links,
+        coord_clustering,
+        kinematics_tree,
+        refine_link_clusters,
+        save_link_artifacts,
+        silhouette_dof_search,
+    )
+    from .urdf.writer import write_urdf
+
+    robot = get_robot(cfg.robot)
+    cms, part_dirs = build_coord_maps(cfg, end_video, cfg.start_steps, cfg.end_steps)
+    sum_map = combined_sum_map(cms, dist_mode)
+
+    if unknown_dof:
+        groups, labels, scores, nls = silhouette_dof_search(sum_map)
+        dof = len(groups) - 1
+        if verbose:
+            print(f"[urdf] silhouette DoF search: links={len(groups)} dof={dof}")
+        score_dir = os.path.join(part_dirs[0], "score")
+        os.makedirs(score_dir, exist_ok=True)
+        with open(os.path.join(score_dir, "silhouette_score.txt"), "w") as f:
+            f.write(f"Silhouette Score: {scores}\n")
+            f.write(f"Number of Links: {nls.tolist()}\n")
+    else:
+        dof = robot.dof
+        groups, labels, _ = coord_clustering(sum_map, dof + 1)
+
+    g0 = cluster_mst(cms[0])
+    links = kinematics_tree(cms[0], groups, g0)
+    joints = estimate_joints_from_tree(
+        links, cms, cfg.start_steps, cfg.end_steps - cfg.start_steps, interval=4
+    )
+
+    # link artifacts + meshes from the first sequence only (reference :726)
+    art = consolidate_links(cms[0], [l.cluster_idx for l in links])
+    art = refine_link_clusters(art)
+    seq_name = os.path.basename(os.path.normpath(part_dirs[0]))
+    link_dir = os.path.join(cfg.mesh_dir(), seq_name)
+    save_link_artifacts(link_dir, art)
+    clouds = canonical_link_clouds(art)
+    mesh_paths = generate_link_meshes(clouds, link_dir, robot.voxel_size)
+
+    urdf_path = write_urdf(
+        links, joints, cms[0], cfg.urdf_path(), mesh_dir=link_dir,
+        robot_name=f"estimated_{cfg.robot}",
+    )
+    if verbose:
+        print(f"[urdf] wrote {urdf_path} ({len(links)} links, {len(joints)} joints)")
+    return {
+        "urdf_path": urdf_path,
+        "num_links": len(links),
+        "dof": dof,
+        "mesh_paths": mesh_paths,
+        "links": links,
+        "joints": joints,
+    }
+
+
+def run_evaluation(
+    cfg: PipelineConfig,
+    joint_map: np.ndarray | None = None,
+    asset_root: str | None = None,
+    verbose: bool = True,
+    num_configs: int = 3,
+) -> dict:
+    from .eval import compare_joints, load_offset, resim_chamfer
+
+    robot = get_robot(cfg.robot)
+    offset = load_offset(cfg.raw_dir())
+    cmp = compare_joints(
+        pred_urdf_path=cfg.urdf_path(),
+        gt_urdf_path=robot.gt_path(asset_root),
+        dof=robot.dof,
+        offset=offset,
+        sim_ori=robot.sim_ori,
+        pred_ori=robot.ori,
+        joint_map=joint_map,
+        global_scale=robot.global_scale,
+        asset_root=asset_root,
+    )
+    eval_dir = cfg.eval_dir()
+    os.makedirs(eval_dir, exist_ok=True)
+    np.savetxt(
+        os.path.join(eval_dir, "pos_mean_std.txt"),
+        (np.mean(cmp.pos_errors), np.std(cmp.pos_errors)),
+    )
+    np.savetxt(
+        os.path.join(eval_dir, "dir_mean_std.txt"),
+        (np.mean(cmp.dir_errors), np.std(cmp.dir_errors)),
+    )
+    if verbose:
+        print(f"[eval] joint pos err {np.mean(cmp.pos_errors):.4f} m, "
+              f"dir err {np.mean(cmp.dir_errors):.2f} deg")
+
+    losses, mean, std = resim_chamfer(
+        pred_urdf_path=cfg.urdf_path(),
+        gt_urdf_path=robot.gt_path(asset_root),
+        dof=robot.dof,
+        offset=offset,
+        joint_map=cmp.joint_map,
+        direction_map=cmp.direction_map,
+        save_path=eval_dir,
+        sim_ori=robot.sim_ori,
+        pred_ori=robot.ori,
+        radius=robot.cam_dist,
+        num_cameras=cfg.num_cameras,
+        global_scale=robot.global_scale,
+        asset_root=asset_root,
+        seed=cfg.seed,
+        num_configs=num_configs,
+    )
+    if verbose:
+        print(f"[eval] resim chamfer {mean:.4f} +- {std:.4f}")
+    return {
+        "pos_errors": cmp.pos_errors,
+        "dir_errors": cmp.dir_errors,
+        "pos_mean": float(np.mean(cmp.pos_errors)),
+        "dir_mean": float(np.mean(cmp.dir_errors)),
+        "chamfer_losses": losses.tolist(),
+        "chamfer_mean": mean,
+        "chamfer_std": std,
+    }

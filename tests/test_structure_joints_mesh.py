@@ -1,0 +1,190 @@
+"""Structure discovery, joint estimation, and meshing on synthetic ground truth.
+
+Builds an analytically-known 2-link hinge trajectory (cluster frames
+attached to each link with exact poses), so link grouping, tree, joint
+axis, and joint origin all have closed-form expected values.
+"""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as ScipyRot
+
+from autourdf_tpu.joints import estimate_joints_from_tree
+from autourdf_tpu.mesh import cloud_to_mesh, is_watertight, marching_tetrahedra
+from autourdf_tpu.structure import (
+    CoordMap,
+    cluster_mst,
+    combined_sum_map,
+    consolidate_links,
+    coord_clustering,
+    kinematics_tree,
+    silhouette_dof_search,
+)
+
+
+def make_hinge_coordmap(
+    num_frames=8, angle_step=0.12, axis=(0, 0, 1.0), pivot=(0.0, 0.0, 0.0), seed=0
+):
+    """Two links, 3 clusters each; link B rotates about `axis` through `pivot`."""
+    rng = np.random.default_rng(seed)
+    axis = np.asarray(axis, float)
+    pivot = np.asarray(pivot, float)
+    # cluster frame offsets (static in link frames)
+    offs_a = np.asarray([[-0.5, 0, 0], [-0.35, 0.1, 0], [-0.2, -0.1, 0.05]])
+    offs_b = np.asarray([[0.2, 0, 0], [0.4, 0.05, 0], [0.6, -0.05, 0.1]])
+    K = 6
+    T = num_frames
+    matrices = np.tile(np.eye(4), (T, K, 1, 1))
+    pts_per_cluster = 40
+    cluster_points, cluster_labels, raw_clouds = [], [], []
+    local_pts = rng.normal(scale=0.05, size=(K, pts_per_cluster, 3))
+    for t in range(T):
+        ang = t * angle_step
+        rot = ScipyRot.from_rotvec(axis * ang).as_matrix()
+        world_pts = []
+        labels = []
+        for k in range(3):
+            matrices[t, k, :3, 3] = offs_a[k]
+            world_pts.append(local_pts[k] + offs_a[k])
+            labels += [k] * pts_per_cluster
+        for k in range(3):
+            pos = pivot + rot @ (offs_b[k] - pivot)
+            matrices[t, 3 + k, :3, :3] = rot
+            matrices[t, 3 + k, :3, 3] = pos
+            world_pts.append(local_pts[3 + k] @ rot.T + pos)
+            labels += [3 + k] * pts_per_cluster
+        cluster_points.append(np.tile(local_pts.reshape(-1, 3), (1, 1)))
+        cluster_labels.append(np.asarray(labels, np.int32))
+        raw_clouds.append(np.concatenate(world_pts))
+    return CoordMap.from_arrays(matrices, cluster_points, cluster_labels, raw_clouds)
+
+
+class TestCoordMap:
+    def test_pose_map_separates_links(self):
+        cm = make_hinge_coordmap()
+        _, sum_map = cm.dist_map("pose")
+        sum_map = (sum_map - sum_map.min()) / (sum_map.max() - sum_map.min())
+        # within-link dissimilarity must be far below cross-link
+        within = [sum_map[i, j] for i in range(3) for j in range(3) if i != j]
+        across = [sum_map[i, j + 3] for i in range(3) for j in range(3)]
+        assert max(within) < min(across)
+
+    @pytest.mark.parametrize("mode", ["pose", "diff", "legacy"])
+    def test_modes_produce_valid_maps(self, mode):
+        cm = make_hinge_coordmap()
+        stacked, sum_map = cm.dist_map(mode)
+        assert sum_map.shape == (6, 6)
+        assert np.all(np.isfinite(sum_map))
+        np.testing.assert_allclose(sum_map, sum_map.T, atol=1e-6)
+        np.testing.assert_allclose(np.diag(sum_map), 0, atol=1e-6)
+
+
+class TestClustering:
+    def test_two_groups(self):
+        cm = make_hinge_coordmap()
+        sum_map = combined_sum_map([cm], "pose")
+        groups, labels, score = coord_clustering(sum_map, 2)
+        assert sorted(sorted(g) for g in groups) == [[0, 1, 2], [3, 4, 5]]
+
+    def test_silhouette_search_exact_on_rich_map(self):
+        # 12 clusters on 3 links with distinct motion
+        rng = np.random.default_rng(0)
+        centers = np.asarray([0.0, 5.0, 10.0])
+        vals = np.concatenate([np.full(4, c) for c in centers]) + rng.normal(
+            scale=0.05, size=12
+        )
+        d = np.abs(vals[:, None] - vals[None, :])
+        groups, labels, scores, nls = silhouette_dof_search(d, link_range=(2, 7))
+        assert len(groups) == 3
+
+
+class TestTree:
+    def test_hinge_tree(self):
+        cm = make_hinge_coordmap()
+        sum_map = combined_sum_map([cm], "pose")
+        groups, _, _ = coord_clustering(sum_map, 2)
+        g0 = cluster_mst(cm)
+        links = kinematics_tree(cm, groups, g0)
+        assert len(links) == 2
+        root = links[0]
+        assert root.parent_id is None and root.tree_id == 0
+        # root is the static link (clusters 0-2)
+        assert root.cluster_idx == {0, 1, 2}
+        assert links[1].parent_id == root.id
+
+
+class TestJoints:
+    @pytest.mark.parametrize(
+        "axis,pivot",
+        [
+            ((0, 0, 1.0), (0.0, 0.0, 0.0)),
+            ((0, 1.0, 0), (0.1, 0.0, 0.2)),
+        ],
+    )
+    def test_recovers_axis_and_origin(self, axis, pivot):
+        cm = make_hinge_coordmap(num_frames=9, angle_step=0.15, axis=axis, pivot=pivot)
+        sum_map = combined_sum_map([cm], "pose")
+        groups, _, _ = coord_clustering(sum_map, 2)
+        g0 = cluster_mst(cm)
+        links = kinematics_tree(cm, groups, g0)
+        joints = estimate_joints_from_tree([l for l in links], [cm],
+                                           start_step=0, num_steps=9, interval=4)
+        assert len(joints) == 1
+        j = joints[0]
+        ax = np.asarray(axis, float)
+        ax /= np.linalg.norm(ax)
+        cos = abs(j.global_axis @ ax)
+        assert cos > 0.999, f"axis {j.global_axis} vs {ax}"
+        # joint origin should lie on the true axis line through pivot
+        diff = j.global_pos[:3] - np.asarray(pivot)
+        perp = diff - (diff @ ax) * ax
+        assert np.linalg.norm(perp) < 0.02, f"origin off axis by {np.linalg.norm(perp)}"
+
+
+class TestLinksConsolidation:
+    def test_consolidate_shapes(self):
+        cm = make_hinge_coordmap()
+        sum_map = combined_sum_map([cm], "pose")
+        groups, _, _ = coord_clustering(sum_map, 2)
+        art = consolidate_links(cm, groups)
+        T = cm.coords.shape[0]
+        assert art.matrices.shape == (T, 2, 4, 4)
+        # link-local clouds should be stable across steps (rigid link)
+        c0 = art.clusters[0][1]
+        cL = art.clusters[T - 1][1]
+        np.testing.assert_allclose(
+            np.sort(c0.round(4), axis=0), np.sort(cL.round(4), axis=0), atol=2e-3
+        )
+
+
+class TestMeshing:
+    def test_sphere_mesh_watertight(self, rng):
+        # dense ball sample -> voxelize -> watertight surface of ~right area
+        dirs = rng.normal(size=(20000, 3))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        pts = dirs * (0.1 * rng.random((20000, 1)) ** (1 / 3) + 0.0)  # solid ball r=0.1
+        mesh = cloud_to_mesh(pts, voxel_size=0.01, smooth_iterations=1)
+        assert len(mesh.faces) > 100
+        assert is_watertight(mesh)
+        # surface area within a factor of the true sphere area
+        true_area = 4 * np.pi * 0.1**2
+        assert 0.5 * true_area < mesh.area < 2.5 * true_area
+
+    def test_marching_tet_cube(self):
+        vol = np.zeros((6, 6, 6), bool)
+        vol[2:4, 2:4, 2:4] = True
+        mesh = marching_tetrahedra(vol, voxel_size=1.0)
+        assert is_watertight(mesh)
+        # 2x2x2 occupied lattice points, surface at the half crossing:
+        # enclosed volume = 2^3 minus the 8 corner chamfers ~ 6.75, and the
+        # signed volume must be positive (outward-oriented normals)
+        v = mesh.vertices
+        f = mesh.faces
+        vol_signed = np.sum(
+            np.einsum("ij,ij->i", v[f[:, 0]],
+                      np.cross(v[f[:, 1]], v[f[:, 2]]))) / 6.0
+        assert 5.0 < vol_signed < 8.0
+
+    def test_empty_cloud(self):
+        mesh = marching_tetrahedra(np.zeros((4, 4, 4), bool))
+        assert len(mesh.faces) == 0
