@@ -17,13 +17,22 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
+from typing import TYPE_CHECKING
+
 from ..core import se3
-from ..structure.coord_map import CoordMap
-from ..structure.links import _eigen_avg_quat
-from ..structure.tree import LinkNode
+
+if TYPE_CHECKING:  # type-only; avoids a circular import with structure/
+    from ..structure.coord_map import CoordMap
+    from ..structure.tree import LinkNode
 
 
-def cluster_pose_mean(cm: CoordMap, members: list[int], step: int) -> tuple[np.ndarray, np.ndarray]:
+def _eigen_avg_quat(quats: np.ndarray) -> np.ndarray:
+    A = quats.T @ quats / len(quats)
+    _, vecs = np.linalg.eigh(A)
+    return vecs[:, -1]
+
+
+def cluster_pose_mean(cm: "CoordMap", members: list[int], step: int) -> tuple[np.ndarray, np.ndarray]:
     coords = cm.coords[step, members, :]
     return coords[:, :3].mean(0), _eigen_avg_quat(coords[:, 3:])
 
@@ -152,8 +161,8 @@ class JointEstimate:
 
 
 def estimate_joints_from_tree(
-    links: list[LinkNode],
-    cm_list: list[CoordMap],
+    links: list["LinkNode"],
+    cm_list: list["CoordMap"],
     start_step: int = 0,
     num_steps: int = 10,
     interval: int = 4,

@@ -43,6 +43,9 @@ class RegistrationConfig(NamedTuple):
     scheduler_factor: float = 0.7
     kmeans_iters: int = 32
     chamfer_backend: str = "auto"
+    mlp_icp: bool = False          # step train -> masked per-cluster ICP
+    icp_iterations: int = 30
+    icp_box_scale: float = 1.2
 
 
 class SequenceResult(NamedTuple):
@@ -69,17 +72,34 @@ def _frame_step(model: PoseRegressor, cfg: RegistrationConfig, anchor_points, an
             chamfer_backend=cfg.chamfer_backend,
         )
 
-        # --- anchor phase: frame-0 clusters -> next frame (drift correction)
-        anchor_res = train_pose_mlp(
-            model, anchor_params, step_res.best_matrices, target,
-            anchor_points, anchor_labels,
-            epochs=cfg.epochs, learning_rate=cfg.lr_anchor,
-            stop_patience=cfg.stop_patience,
-            scheduler_patience=cfg.scheduler_patience,
-            scheduler_factor=cfg.scheduler_factor,
-            chamfer_backend=cfg.chamfer_backend,
-        )
-        new_m = anchor_res.best_matrices
+        if cfg.mlp_icp:
+            # --- MLP+ICP variant (mlp_reg.py:298-332): refine each cluster
+            # pose with AABB-masked p2p ICP instead of the anchor MLP
+            from ..ops.icp import masked_icp_clusters
+
+            new_m = masked_icp_clusters(
+                points, labels, step_res.best_matrices, target,
+                num_clusters=cfg.num_seg, scale=cfg.icp_box_scale,
+                max_iterations=cfg.icp_iterations,
+                backend=cfg.chamfer_backend,
+            )
+            anchor_loss = step_res.best_loss
+            new_anchor_params = anchor_params
+        else:
+            # --- anchor phase: frame-0 clusters -> next frame (drift
+            # correction)
+            anchor_res = train_pose_mlp(
+                model, anchor_params, step_res.best_matrices, target,
+                anchor_points, anchor_labels,
+                epochs=cfg.epochs, learning_rate=cfg.lr_anchor,
+                stop_patience=cfg.stop_patience,
+                scheduler_patience=cfg.scheduler_patience,
+                scheduler_factor=cfg.scheduler_factor,
+                chamfer_backend=cfg.chamfer_backend,
+            )
+            new_m = anchor_res.best_matrices
+            anchor_loss = anchor_res.best_loss
+            new_anchor_params = anchor_res.params
 
         # --- resample: warm-started k-means of the target frame around the
         # updated centers, then re-express points in their cluster frames
@@ -87,8 +107,8 @@ def _frame_step(model: PoseRegressor, cfg: RegistrationConfig, anchor_points, an
         new_labels = km.labels
         new_points = local_points_from_labels(new_m, target, new_labels)
 
-        new_carry = (step_res.params, anchor_res.params, new_m, new_points, new_labels)
-        out = (new_m, new_points, new_labels, anchor_res.best_loss, step_res.best_loss)
+        new_carry = (step_res.params, new_anchor_params, new_m, new_points, new_labels)
+        out = (new_m, new_points, new_labels, anchor_loss, step_res.best_loss)
         return new_carry, out
 
     return body

