@@ -80,6 +80,9 @@ def main(argv=None) -> int:
     p.add_argument("--end-video", "--end_video", dest="end_video", type=int, default=1)
     p.add_argument("--dist-mode", type=str, default="pose",
                    choices=["pose", "diff", "legacy"])
+    p.add_argument("--dof-method", type=str, default="gap",
+                   choices=["gap", "silhouette"],
+                   help="gap = merge-height ratio (ours); silhouette = reference parity")
 
     p = sub.add_parser("evaluate", help="joint accuracy + resim chamfer vs gt")
     _add_common(p)
@@ -113,7 +116,7 @@ def main(argv=None) -> int:
         cfg = cfg.replace(start_steps=args.start_steps, end_steps=args.end_steps)
         out = workflow.run_build_urdf(
             cfg, unknown_dof=args.unknown_dof, dist_mode=args.dist_mode,
-            end_video=args.end_video,
+            dof_method=args.dof_method, end_video=args.end_video,
         )
         print(json.dumps({"urdf": out["urdf_path"], "links": out["num_links"],
                           "dof": out["dof"]}))

@@ -118,18 +118,18 @@ def screw_from_transform(T: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]
     angle = jnp.linalg.norm(w, axis=-1)
     axis = w / jnp.maximum(angle[..., None], 1e-12)
     t = trans_of(T)
-    # Remove the pitch (translation along axis), then solve (I - R) p = t_perp.
+    # Remove the pitch (translation along axis); solve (I - R) p = t_perp
+    # in closed form.  For p perpendicular to the axis,
+    #   p = 1/2 * t_perp + 1/2 * cot(theta/2) * (axis x t_perp)
+    # (exact inverse of the 2x2 in-plane rotation operator — numerically
+    # stable where an f32 least-squares solve of the rank-deficient 3x3 is
+    # not).  As theta -> 0 the point recedes to infinity, which is the
+    # correct screw geometry; callers filter near-identity samples.
     t_par = jnp.sum(t * axis, axis=-1, keepdims=True) * axis
     t_perp = t - t_par
-    rot = rot_of(T)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), rot.shape)
-    A = eye - rot
-    # Least-squares via normal equations regularized along the axis null space.
-    AtA = _mm(jnp.swapaxes(A, -1, -2), A) + 1e-9 * eye
-    Atb = _einsum("...ji,...j->...i", A, t_perp)
-    p = jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
-    # Project out any residual axis component (null direction).
-    p = p - jnp.sum(p * axis, axis=-1, keepdims=True) * axis
+    half = 0.5 * angle[..., None]
+    cot = jnp.cos(half) / jnp.maximum(jnp.sin(half), 1e-12)
+    p = 0.5 * t_perp + 0.5 * cot * jnp.cross(axis, t_perp)
     return axis, angle, p
 
 

@@ -23,6 +23,11 @@ from ..urdf.parser import load_urdf
 
 def joint_error(pos_a, uv_a, pos_b, uv_b) -> tuple[float, float]:
     """(normal distance between axis lines, angle between axes in deg)."""
+    na, nb = np.linalg.norm(uv_a), np.linalg.norm(uv_b)
+    if na < 1e-12 or nb < 1e-12 or not (np.all(np.isfinite(uv_a)) and np.all(np.isfinite(uv_b))):
+        return float("inf"), 90.0  # degenerate axis: worst-case but finite angle
+    uv_a = np.asarray(uv_a) / na
+    uv_b = np.asarray(uv_b) / nb
     cross = np.cross(uv_a, uv_b)
     cmag = np.linalg.norm(cross)
     diff = np.asarray(pos_b) - np.asarray(pos_a)
@@ -95,6 +100,7 @@ def compare_joints(
                 )
                 de = min(de, 180.0 - de)
                 cost[gi, pi] = pe + de / 90.0
+        cost = np.where(np.isfinite(cost), cost, 1e6)  # degenerate axes
         rows, cols = linear_sum_assignment(cost)
         joint_map = np.full(n, -1, dtype=int)
         joint_map[rows] = cols

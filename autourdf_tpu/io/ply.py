@@ -25,6 +25,12 @@ _PLY_TYPES = {
 
 def read_ply(path: str) -> np.ndarray:
     """Read xyz coordinates of the vertex element -> (N, 3) float32."""
+    from . import native
+
+    if native.available():
+        out = native.read_ply_native(path)
+        if out is not None:
+            return out
     with open(path, "rb") as f:
         data = f.read()
     header_end = data.find(b"end_header\n")

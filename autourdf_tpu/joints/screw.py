@@ -78,6 +78,25 @@ def screw_axes_from_pose_series(
     return axes, angles, points
 
 
+def filter_screws(
+    axes: list[np.ndarray],
+    angles: list[float],
+    points: list[np.ndarray],
+    min_angle: float = 1e-4,
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Drop degenerate screw samples (near-identity relative motion yields a
+    zero axis and an unconstrained point, which would NaN the SVD/means).
+    Falls back to the largest-angle sample if everything is degenerate."""
+    keep = [
+        i for i, (a, ang, p) in enumerate(zip(axes, angles, points))
+        if np.linalg.norm(a) > 0.5 and ang > min_angle and np.all(np.isfinite(p))
+    ]
+    if not keep:
+        best = int(np.argmax(angles))
+        keep = [best]
+    return [axes[i] for i in keep], [points[i] for i in keep]
+
+
 def _principal_axis(axes: list[np.ndarray]) -> np.ndarray:
     ref = axes[0] / np.linalg.norm(axes[0])
     aligned = []
@@ -186,6 +205,7 @@ def estimate_joints_from_tree(
                     pp.append(cluster_pose_mean(cm, sorted(parent.cluster_idx), step))
                     pc.append(cluster_pose_mean(cm, sorted(link.cluster_idx), step))
                 axes, angles, pts = screw_axes_from_pose_series(pp, pc)
+                axes, pts = filter_screws(axes, angles, pts)
                 all_pp.extend(pp)
                 all_pc.extend(pc)
                 all_axes.extend(axes)

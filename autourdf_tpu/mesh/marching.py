@@ -74,10 +74,18 @@ def marching_tetrahedra(volume: np.ndarray, voxel_size: float = 1.0,
 
     The volume is zero-padded internally so the output surface is closed.
     Vertex coordinates are in world units: ``origin + voxel_size * index``.
+    Dispatches to the native C++ extractor when built (same algorithm).
     """
     vol = np.pad(np.asarray(volume, dtype=bool), 1)
     origin = np.zeros(3) if origin is None else np.asarray(origin, dtype=np.float64)
     origin = origin - voxel_size  # account for the pad
+
+    from ..io import native
+
+    nat = native.marching_tetrahedra_native(vol) if native.available() else None
+    if nat is not None:
+        verts, faces = nat
+        return TriMesh(verts * voxel_size + origin, faces)
 
     occ = vol
     nx, ny, nz = (np.array(vol.shape) - 1)

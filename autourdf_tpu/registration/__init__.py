@@ -5,6 +5,7 @@ from .pipeline import (
     predicted_world_points,
     register_sequence,
     register_sequences_batched,
+    register_sequences_fused,
 )
 from .segments import SegmentInit, initial_segments, local_points_from_labels
 
@@ -16,6 +17,7 @@ __all__ = [
     "SequenceResult",
     "register_sequence",
     "register_sequences_batched",
+    "register_sequences_fused",
     "predicted_world_points",
     "initial_segments",
     "local_points_from_labels",

@@ -46,6 +46,7 @@ class RegistrationConfig(NamedTuple):
     mlp_icp: bool = False          # step train -> masked per-cluster ICP
     icp_iterations: int = 30
     icp_box_scale: float = 1.2
+    dispatch_epochs: int = 100     # max epochs per device dispatch (batched driver)
 
 
 class SequenceResult(NamedTuple):
@@ -140,6 +141,86 @@ def register_sequence(
 
 
 @functools.partial(jax.jit, static_argnames=("model", "cfg"))
+def register_sequences_fused(
+    model: PoseRegressor,
+    cfg: RegistrationConfig,
+    step_params_batch,
+    anchor_params_batch,
+    init: SegmentInit,
+    frames: jax.Array,  # (S, T, N, 3)
+) -> SequenceResult:
+    """All sequences and all frames as ONE compiled program.
+
+    Maximum fusion — the right shape for directly-attached TPUs.  Behind a
+    tunneled/remote device runtime, a single multi-second execution can
+    trip dispatch deadlines; use :func:`register_sequences_batched` there
+    (identical math, per-phase dispatch).
+    """
+    fn = lambda sp, ap, fr: register_sequence(model, cfg, sp, ap, init, fr)
+    return jax.vmap(fn)(step_params_batch, anchor_params_batch, frames)
+
+
+@functools.lru_cache(maxsize=16)
+def _batched_phases(model: PoseRegressor, cfg: RegistrationConfig):
+    """Compiled per-phase programs, cached per (model, cfg).
+
+    The training phase is chunked at ``cfg.dispatch_epochs`` per compiled
+    dispatch (resumable TrainCarry stays on device), bounding the duration
+    of any single XLA execution for remote/tunneled device runtimes.
+    """
+    from .optimizer import train_epochs, train_init
+
+    @functools.partial(jax.jit, static_argnames=("lr",))
+    def start_phase(params, matrices, lr):
+        return jax.vmap(lambda p, m: train_init(p, m, lr))(params, matrices)
+
+    @functools.partial(jax.jit, static_argnames=("num_epochs",))
+    def chunk_phase(carry, matrices, target, points, labels, num_epochs):
+        def one(c, m, t, pts, lab):
+            c2, losses = train_epochs(
+                model, c, m, t, pts, lab, num_epochs,
+                stop_patience=cfg.stop_patience,
+                scheduler_patience=cfg.scheduler_patience,
+                scheduler_factor=cfg.scheduler_factor,
+                chamfer_backend=cfg.chamfer_backend,
+            )
+            return c2
+        return jax.vmap(one)(carry, matrices, target, points, labels)
+
+    def train_phase(params, matrices, target, points, labels, lr):
+        carry = start_phase(params, matrices, lr)
+        remaining = cfg.epochs
+        while remaining > 0:
+            n = min(cfg.dispatch_epochs, remaining)
+            carry = chunk_phase(carry, matrices, target, points, labels, n)
+            remaining -= n
+        from .optimizer import TrainResult
+
+        return TrainResult(carry.params, carry.best_m, carry.best_loss, None)
+
+    @jax.jit
+    def icp_phase(points, labels, matrices, target):
+        from ..ops.icp import masked_icp_clusters
+
+        def one(pts, lab, m, t):
+            return masked_icp_clusters(
+                pts, lab, m, t, num_clusters=cfg.num_seg,
+                scale=cfg.icp_box_scale, max_iterations=cfg.icp_iterations,
+                backend=cfg.chamfer_backend,
+            )
+        return jax.vmap(one)(points, labels, matrices, target)
+
+    @jax.jit
+    def resample_phase(matrices, target):
+        def one(m, t):
+            km = lloyd(t, m[:, :3, 3], iters=cfg.kmeans_iters)
+            pts = local_points_from_labels(m, t, km.labels)
+            return pts, km.labels
+        return jax.vmap(one)(matrices, target)
+
+    return train_phase, icp_phase, resample_phase
+
+
 def register_sequences_batched(
     model: PoseRegressor,
     cfg: RegistrationConfig,
@@ -148,14 +229,61 @@ def register_sequences_batched(
     init: SegmentInit,
     frames: jax.Array,  # (S, T, N, 3)
 ) -> SequenceResult:
-    """All sequences at once: vmap over the sequence axis, shared init.
+    """All sequences batched, dispatched one optimization phase at a time.
 
-    Each sequence gets its own MLP weights (leading axis on the param
-    batches); the frame-0 segmentation is shared, as in the reference where
-    later sequences load the first sequence's frame-0 artifacts.
+    The math is identical to the fused program; the host only sequences
+    dispatches (three compiled programs per frame pair: step train, anchor
+    train, resample).  All carries are device-resident jax Arrays — no
+    host transfers inside the loop — so per-dispatch overhead is
+    microseconds while each program stays ~1s, comfortably inside remote
+    dispatch deadlines.
     """
-    fn = lambda sp, ap, fr: register_sequence(model, cfg, sp, ap, init, fr)
-    return jax.vmap(fn)(step_params_batch, anchor_params_batch, frames)
+    S, T = frames.shape[0], frames.shape[1]
+    train_phase, icp_phase, resample_phase = _batched_phases(model, cfg)
+
+    # broadcast shared init across sequences
+    tile = lambda x: jnp.broadcast_to(x[None], (S,) + x.shape)
+    matrices = tile(init.matrices)
+    points = tile(init.points)
+    labels = tile(init.labels)
+    anchor_points = tile(init.points)
+    anchor_labels = tile(init.labels)
+    step_params = step_params_batch
+    anchor_params = anchor_params_batch
+
+    out_m, out_p, out_l = [matrices], [points], [labels]
+    out_loss, out_step_loss = [], []
+    for i in range(T - 1):
+        target = frames[:, i + 1]
+        step_res = train_phase(step_params, matrices, target, points, labels,
+                               lr=cfg.lr_step)
+        step_params = step_res.params
+        if cfg.mlp_icp:
+            new_m = icp_phase(points, labels, step_res.best_matrices, target)
+            loss = step_res.best_loss
+        else:
+            anchor_res = train_phase(
+                anchor_params, step_res.best_matrices, target,
+                anchor_points, anchor_labels, lr=cfg.lr_anchor,
+            )
+            anchor_params = anchor_res.params
+            new_m = anchor_res.best_matrices
+            loss = anchor_res.best_loss
+        points, labels = resample_phase(new_m, target)
+        matrices = new_m
+        out_m.append(matrices)
+        out_p.append(points)
+        out_l.append(labels)
+        out_loss.append(loss)
+        out_step_loss.append(step_res.best_loss)
+
+    return SequenceResult(
+        matrices=jnp.stack(out_m, axis=1),
+        local_points=jnp.stack(out_p, axis=1),
+        labels=jnp.stack(out_l, axis=1),
+        losses=jnp.stack(out_loss, axis=1),
+        step_losses=jnp.stack(out_step_loss, axis=1),
+    )
 
 
 def predicted_world_points(result: SequenceResult, t: int) -> jax.Array:

@@ -28,11 +28,11 @@ def local_points_from_labels(
     matrices: jax.Array, world_points: jax.Array, labels: jax.Array
 ) -> jax.Array:
     """Map world points into their assigned cluster's local frame."""
-    inv_rots = jnp.swapaxes(matrices[labels, :3, :3], -1, -2)
-    ts = matrices[labels, :3, 3]
-    return jnp.einsum(
-        "nij,nj->ni", inv_rots, world_points - ts, precision="highest"
-    )
+    from ..core import se3
+    from .optimizer import apply_pose_rows
+
+    inv = se3.inverse(matrices)
+    return apply_pose_rows(inv[:, :3, :], world_points, labels)
 
 
 def initial_segments(

@@ -1,4 +1,9 @@
-from .clustering import coord_clustering, silhouette_dof_search, single_linkage_components
+from .clustering import (
+    coord_clustering,
+    merge_gap_dof_search,
+    silhouette_dof_search,
+    single_linkage_components,
+)
 from .coord_map import CoordMap, combined_sum_map
 from .links import (
     LinkArtifacts,
@@ -20,6 +25,7 @@ __all__ = [
     "combined_sum_map",
     "coord_clustering",
     "silhouette_dof_search",
+    "merge_gap_dof_search",
     "single_linkage_components",
     "cluster_mst",
     "kinematics_tree",

@@ -52,6 +52,44 @@ def coord_clustering(
     return labels_to_groups(labels), labels, score
 
 
+def merge_gap_dof_search(
+    d_map: np.ndarray, link_range: tuple[int, int] | None = None
+) -> tuple[list[set[int]], np.ndarray, list[float], np.ndarray]:
+    """Link count from the largest relative merge-height gap.
+
+    Rigid-part motion makes within-link dissimilarities collapse toward
+    zero while cross-link merges happen at clearly higher heights; the
+    cut with the largest ratio between consecutive single-linkage merge
+    heights is therefore the natural part count.  More robust than the
+    reference's silhouette scan when adjacent links move weakly (e.g. the
+    wx200 wrist): on our captures silhouette narrowly prefers merging
+    base+shoulder while the merge-gap ratio recovers the true 6 links.
+
+    Same return signature as silhouette_dof_search; "scores" are the
+    merge-height ratios per candidate link count.
+    """
+    k = d_map.shape[0]
+    if link_range is None:
+        link_range = (4, min(25, k))
+    d = 0.5 * (np.asarray(d_map, np.float64) + np.asarray(d_map, np.float64).T)
+    np.fill_diagonal(d, 0.0)
+    Z = linkage(squareform(d, checks=False), method="single")
+    h = Z[:, 2]
+    nls = np.arange(link_range[0], link_range[1])
+    scores = []
+    for nl in nls:
+        # allowing K - nl merges leaves nl clusters; the cut sits between
+        # merge heights h[K-nl-1] and h[K-nl]  (len(h) == K - 1)
+        i = len(h) - nl + 1
+        if 0 < i < len(h):
+            scores.append(float(h[i] / max(h[i - 1], 1e-12)))
+        else:
+            scores.append(0.0)
+    best = int(nls[int(np.argmax(scores))])
+    groups, labels, _ = coord_clustering(d, best)
+    return groups, labels, scores, nls
+
+
 def silhouette_dof_search(
     d_map: np.ndarray, link_range: tuple[int, int] | None = None
 ) -> tuple[list[set[int]], np.ndarray, list[float], np.ndarray]:

@@ -148,6 +148,7 @@ def run_build_urdf(
     cfg: PipelineConfig,
     unknown_dof: bool = True,
     dist_mode: str = "pose",
+    dof_method: str = "gap",
     end_video: int | None = None,
     verbose: bool = True,
 ) -> dict:
@@ -161,6 +162,7 @@ def run_build_urdf(
         consolidate_links,
         coord_clustering,
         kinematics_tree,
+        merge_gap_dof_search,
         refine_link_clusters,
         save_link_artifacts,
         silhouette_dof_search,
@@ -172,10 +174,11 @@ def run_build_urdf(
     sum_map = combined_sum_map(cms, dist_mode)
 
     if unknown_dof:
-        groups, labels, scores, nls = silhouette_dof_search(sum_map)
+        search = merge_gap_dof_search if dof_method == "gap" else silhouette_dof_search
+        groups, labels, scores, nls = search(sum_map)
         dof = len(groups) - 1
         if verbose:
-            print(f"[urdf] silhouette DoF search: links={len(groups)} dof={dof}")
+            print(f"[urdf] {dof_method} DoF search: links={len(groups)} dof={dof}")
         score_dir = os.path.join(part_dirs[0], "score")
         os.makedirs(score_dir, exist_ok=True)
         with open(os.path.join(score_dir, "silhouette_score.txt"), "w") as f:
