@@ -83,6 +83,9 @@ def main(argv=None) -> int:
     p.add_argument("--dof-method", type=str, default="gap",
                    choices=["gap", "silhouette"],
                    help="gap = merge-height ratio (ours); silhouette = reference parity")
+    p.add_argument("--refine", type=str, default="chain", choices=["chain", "none"],
+                   help="global kinematic-chain joint refinement (ours); none = reference parity")
+    p.add_argument("--refine-steps", type=int, default=400)
 
     p = sub.add_parser("evaluate", help="joint accuracy + resim chamfer vs gt")
     _add_common(p)
@@ -117,6 +120,7 @@ def main(argv=None) -> int:
         out = workflow.run_build_urdf(
             cfg, unknown_dof=args.unknown_dof, dist_mode=args.dist_mode,
             dof_method=args.dof_method, end_video=args.end_video,
+            refine=args.refine, refine_steps=args.refine_steps,
         )
         print(json.dumps({"urdf": out["urdf_path"], "links": out["num_links"],
                           "dof": out["dof"]}))

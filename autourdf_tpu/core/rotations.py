@@ -190,18 +190,29 @@ def quat_to_rotvec(q: jax.Array) -> jax.Array:
     q = quat_standardize(quat_normalize(q))
     w = jnp.clip(q[..., 0], -1.0, 1.0)
     v = q[..., 1:]
-    sin_half = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    sin_half = _safe_norm(v)
     angle = 2.0 * jnp.arctan2(sin_half[..., 0], w)[..., None]
     # sinc-safe scale: angle / sin(angle/2); for tiny angles -> 2.
-    scale = jnp.where(sin_half > 1e-7, angle / jnp.maximum(sin_half, 1e-30), 2.0)
+    scale = jnp.where(sin_half > 1e-7, angle / sin_half, 2.0)
     return v * scale
 
 
+def _safe_norm(x: jax.Array, axis=-1, keepdims=True, tiny: float = 1e-24) -> jax.Array:
+    """sqrt(max(sum x^2, tiny)) — finite value AND gradient at x == 0.
+
+    A plain ``linalg.norm`` has a NaN gradient at zero, and even inside the
+    untaken branch of a ``where`` that NaN leaks into the cotangent
+    (0 * NaN == NaN); this form keeps every branch NaN-free.
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    return jnp.sqrt(jnp.maximum(sq, tiny))
+
+
 def rotvec_to_quat(rv: jax.Array) -> jax.Array:
-    angle = jnp.linalg.norm(rv, axis=-1, keepdims=True)
+    angle = _safe_norm(rv)
     half = 0.5 * angle
-    # sin(x)/x, safe at 0
-    k = jnp.where(angle > 1e-7, jnp.sin(half) / jnp.maximum(angle, 1e-30), 0.5)
+    # sin(x/2)/x; both branches finite and NaN-free everywhere
+    k = jnp.where(angle > 1e-7, jnp.sin(half) / angle, 0.5)
     return jnp.concatenate([jnp.cos(half), rv * k], axis=-1)
 
 

@@ -1,0 +1,275 @@
+"""Global kinematic-chain refinement (beyond the reference).
+
+Once the tree and initial joints are known, the strongest supervision
+available is the raw frames themselves: pose the *whole* robot model —
+canonical per-link point clouds forward-kinematically chained through
+explicit revolute joints — and fit every joint axis/origin plus all
+per-frame joint angles jointly against the full frame clouds with the
+masked Chamfer loss.  Segmentation-boundary noise and per-link visibility
+changes, which bias per-link screw estimates, average out when the whole
+robot competes for the whole cloud.
+
+Model (links in tree order, root static):
+
+    W_root(t)  = F_root(0)
+    W_c(t)     = W_p(t) @ Rot(u_j, o_j, theta_{t,j}) @ [F_p(0)^-1 F_c(0)]
+
+with (u_j, o_j) the joint axis/origin in the parent link frame and
+theta_{0, j} = 0, so step 0 reproduces the registered configuration
+exactly.  Parameters: all (u_j, o_j) and theta (per sequence, per step,
+per joint); optimizer: Adam under fused scan chunks (same dispatch-bounded
+pattern as registration).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import rotations as R
+from ..core import se3
+from ..ops.chamfer import chamfer_distance
+from .screw import JointEstimate
+
+
+def _link_frame_np(cm, members, t) -> np.ndarray:
+    """(4,4) link frame (mean pos + eigen-avg quat) in pure numpy — the
+    jnp version costs a device dispatch per call, which multiplies badly
+    across S x J x T initializations."""
+    from scipy.spatial.transform import Rotation as ScipyRot
+
+    coords = cm.coords[t, members, :]
+    pos = coords[:, :3].mean(0)
+    quats = coords[:, 3:]
+    A = quats.T @ quats / len(quats)
+    _, vecs = np.linalg.eigh(A)
+    q = vecs[:, -1]  # wxyz
+    T = np.eye(4)
+    T[:3, :3] = ScipyRot.from_quat(np.concatenate([q[1:], q[:1]])).as_matrix()
+    T[:3, 3] = pos
+    return T
+
+
+class ChainSpec(NamedTuple):
+    """Static structure of the chain (hashable; jit-static)."""
+    parent_index: tuple       # per joint: index of parent LINK in link order
+    child_index: tuple        # per joint: index of child LINK in link order
+    root_index: int
+
+
+class ChainResult(NamedTuple):
+    axes: jax.Array      # (J, 3) unit axes, parent-link frames
+    origins: jax.Array   # (J, 3) origins, parent-link frames
+    thetas: jax.Array    # (S, T, J)
+    loss: jax.Array
+
+
+def _rot_about(u, o, theta):
+    rot = R.rotvec_to_matrix(u * theta)
+    t = o - rot @ o
+    return se3.make_transform(rot, t)
+
+
+def chain_world_transforms(spec: ChainSpec, frames0: jax.Array,
+                           axes: jax.Array, origins: jax.Array,
+                           theta: jax.Array) -> jax.Array:
+    """(L, 4, 4) link world transforms for one step's joint angles (J,)."""
+    L = frames0.shape[0]
+    world = [None] * L
+    world[spec.root_index] = frames0[spec.root_index]
+    # joints are listed parent-before-child (tree order), one pass suffices
+    for j, (pi, ci) in enumerate(zip(spec.parent_index, spec.child_index)):
+        rel0 = se3.compose(se3.inverse(frames0[pi]), frames0[ci])
+        J = _rot_about(axes[j], origins[j], theta[j])
+        world[ci] = se3.compose(se3.compose(world[pi], J), rel0)
+    return jnp.stack(world)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _chain_loss(spec: ChainSpec, frames0, link_pts, link_masks,
+                params, frames, frame_masks):
+    """Mean chamfer over all sequences and steps."""
+    u = params["u"]
+    u = u / jnp.sqrt(jnp.maximum(jnp.sum(u * u, -1, keepdims=True), 1e-18))
+    o = params["o"]
+    theta = params["theta"].at[:, 0, :].set(0.0)  # (S, T, J)
+
+    L, P = link_pts.shape[:2]
+    flat_pts = link_pts.reshape(L * P, 3)
+    flat_mask = link_masks.reshape(L * P)
+
+    def one_step(th, frame, fmask):
+        world = chain_world_transforms(spec, frames0, u, o, th)  # (L,4,4)
+        posed = se3.transform_points(world, link_pts)  # (L,P,3)
+        return chamfer_distance(
+            posed.reshape(L * P, 3), frame, flat_mask, fmask, norm=1
+        )
+
+    def one_seq(th_seq, f_seq, m_seq):
+        return jnp.mean(jax.vmap(one_step)(th_seq, f_seq, m_seq))
+
+    return jnp.mean(jax.vmap(one_seq)(theta, frames, frame_masks))
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "num_steps", "lr"))
+def _chain_fit_chunk(spec: ChainSpec, frames0, link_pts, link_masks,
+                     frames, frame_masks, carry, num_steps: int, lr: float):
+    params, mu, nu, i = carry
+
+    # geometry parameters move much slower than angles: the angles carry
+    # the per-frame fit while axes/origins follow only persistent residuals
+    group_lr = {"u": 0.2 * lr, "o": 0.1 * lr, "theta": lr}
+
+    def body(c, _):
+        p, mu, nu, i = c
+        loss, g = jax.value_and_grad(
+            lambda pp: _chain_loss(spec, frames0, link_pts, link_masks,
+                                   pp, frames, frame_masks)
+        )(p)
+        i = i + 1
+        mu = jax.tree.map(lambda m, gr: 0.9 * m + 0.1 * gr, mu, g)
+        nu = jax.tree.map(lambda v, gr: 0.999 * v + 0.001 * gr * gr, nu, g)
+        t = i.astype(jnp.float32)
+        p = {
+            k: p[k] - group_lr[k] * (mu[k] / (1 - 0.9**t))
+            / (jnp.sqrt(nu[k] / (1 - 0.999**t)) + 1e-8)
+            for k in p
+        }
+        return (p, mu, nu, i), loss
+
+    (params, mu, nu, i), losses = jax.lax.scan(body, (params, mu, nu, i), None,
+                                               length=num_steps)
+    return (params, mu, nu, i), losses[-1]
+
+
+def refine_chain(
+    links,
+    joints: list[JointEstimate],
+    cms,
+    frames: np.ndarray,          # (S, T, N, 3) raw frame clouds
+    steps: int = 300,
+    lr: float = 2e-2,
+    points_per_link: int = 768,
+    dispatch_steps: int = 50,
+    verbose: bool = False,
+) -> tuple[list[JointEstimate], ChainResult]:
+    """Jointly refine every joint against the raw frames of all sequences.
+
+    ``links`` must be in tree order (root first) as kinematics_tree
+    returns; joints[j] connects links by id.  Returns updated
+    JointEstimates (global axis/pos at the step-0 configuration, the
+    frames the URDF writer consumes).
+    """
+    id_to_pos = {l.id: i for i, l in enumerate(links)}
+    spec = ChainSpec(
+        parent_index=tuple(id_to_pos[j.parent_link] for j in joints),
+        child_index=tuple(id_to_pos[j.child_link] for j in joints),
+        root_index=next(i for i, l in enumerate(links) if l.parent_id is None),
+    )
+
+    cm = cms[0]
+    # canonical per-link clouds in link frames at step 0 (subsampled, padded)
+    rng = np.random.default_rng(0)
+    L = len(links)
+    link_pts = np.zeros((L, points_per_link, 3), np.float32)
+    link_masks = np.zeros((L, points_per_link), bool)
+    frames0_np = np.zeros((L, 4, 4), np.float32)
+    pts0 = np.asarray(cm.cluster_points[0])
+    labels0 = np.asarray(cm.cluster_labels[0])
+    for i, link in enumerate(links):
+        members = sorted(link.cluster_idx)
+        F = _link_frame_np(cm, members, 0)
+        frames0_np[i] = F
+        parts = []
+        for m in members:
+            sel = labels0 == m
+            M = cm.matrices[0, m]
+            parts.append(pts0[sel] @ M[:3, :3].T + M[:3, 3])
+        world = np.concatenate(parts, axis=0)
+        inv = np.linalg.inv(F)
+        local = world @ inv[:3, :3].T + inv[:3, 3]
+        if len(local) > points_per_link:
+            idx = rng.choice(len(local), points_per_link, replace=False)
+            local = local[idx]
+        link_pts[i, : len(local)] = local
+        link_masks[i, : len(local)] = True
+
+    # init params from the screw estimates, in parent-link frames
+    J = len(joints)
+    u0 = np.zeros((J, 3), np.float32)
+    o0 = np.zeros((J, 3), np.float32)
+    for j, joint in enumerate(joints):
+        p0 = frames0_np[id_to_pos[joint.parent_link]].astype(np.float64)
+        inv = np.linalg.inv(p0)
+        ax = joint.global_axis / max(np.linalg.norm(joint.global_axis), 1e-12)
+        u0[j] = inv[:3, :3] @ ax
+        o0[j] = inv[:3, :3] @ joint.global_pos[:3] + inv[:3, 3]
+
+    # initial angles: relative child rotation (vs step 0) projected onto the
+    # initial axis, per sequence — the fit starts from the registered motion
+    from scipy.spatial.transform import Rotation as ScipyRot
+
+    S, T = frames.shape[:2]
+    theta0 = np.zeros((S, T, J), np.float32)
+    for s, cm_s in enumerate(cms[:S]):
+        for j, joint in enumerate(joints):
+            pm = sorted(next(l for l in links if l.id == joint.parent_link).cluster_idx)
+            cmem = sorted(next(l for l in links if l.id == joint.child_link).cluster_idx)
+            Tp = [_link_frame_np(cm_s, pm, t) for t in range(T)]
+            Tc = [_link_frame_np(cm_s, cmem, t) for t in range(T)]
+            rel0 = np.linalg.inv(Tp[0]) @ Tc[0]
+            for t in range(1, T):
+                rel_t = np.linalg.inv(Tp[t]) @ Tc[t]
+                d_rel = rel_t @ np.linalg.inv(rel0)
+                rv = ScipyRot.from_matrix(d_rel[:3, :3]).as_rotvec()
+                theta0[s, t, j] = float(rv @ u0[j])
+    params = {"u": jnp.asarray(u0), "o": jnp.asarray(o0), "theta": jnp.asarray(theta0)}
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    carry = (params, zeros, zeros, jnp.zeros((), jnp.int32))
+
+    frames_j = jnp.asarray(frames, jnp.float32)
+    fmasks = jnp.ones(frames.shape[:3], bool)
+    f0 = jnp.asarray(frames0_np)
+    lp = jnp.asarray(link_pts)
+    lm = jnp.asarray(link_masks)
+
+    remaining = steps
+    loss = None
+    while remaining > 0:
+        n = min(dispatch_steps, remaining)
+        carry, loss = _chain_fit_chunk(
+            spec, f0, lp, lm, frames_j, fmasks, carry, n, lr
+        )
+        remaining -= n
+        if verbose:
+            print(f"[chain] {steps - remaining}/{steps} loss {float(loss):.5f}",
+                  flush=True)
+
+    params = carry[0]
+    u = np.asarray(params["u"], np.float64)
+    u = u / np.linalg.norm(u, axis=1, keepdims=True)
+    o = np.asarray(params["o"], np.float64)
+    theta = np.asarray(params["theta"])
+
+    refined = []
+    for j, joint in enumerate(joints):
+        p0 = frames0_np[id_to_pos[joint.parent_link]].astype(np.float64)
+        global_axis = p0[:3, :3] @ u[j]
+        global_pos = p0[:3, :3] @ o[j] + p0[:3, 3]
+        refined.append(
+            JointEstimate(
+                parent_link=joint.parent_link,
+                child_link=joint.child_link,
+                local_axis=u[j],
+                local_pos=np.concatenate([o[j], [1.0]]),
+                global_pos=global_pos,
+                global_axis=global_axis,
+            )
+        )
+    result = ChainResult(jnp.asarray(u), jnp.asarray(o), jnp.asarray(theta),
+                         loss if loss is not None else jnp.asarray(jnp.inf))
+    return refined, result

@@ -1,0 +1,100 @@
+"""Tests for the differentiable joint refinement (single-joint + chain)."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as ScipyRot
+
+import jax
+import jax.numpy as jnp
+
+from autourdf_tpu.joints import fit_revolute_joint
+from autourdf_tpu.joints.chain import refine_chain
+from autourdf_tpu.joints.screw import JointEstimate
+
+
+class TestFitRevolute:
+    def test_recovers_axis_from_bad_init(self, rng):
+        T, P = 5, 256
+        x = rng.uniform([-0.1, -0.05, -0.05], [0.4, 0.05, 0.05], (200, 3)).astype(np.float32)
+        u_true = np.array([0.0, 0.0, 1.0])
+        o_true = np.array([0.05, 0.02, 0.0])
+        parent_T = np.tile(np.eye(4, dtype=np.float32), (T, 1, 1))
+        obs = np.zeros((T, P, 3), np.float32)
+        mask = np.zeros((T, P), bool)
+        for t in range(T):
+            Rm = ScipyRot.from_rotvec(u_true * 0.15 * t).as_matrix()
+            obs[t, :200] = (x - o_true) @ Rm.T + o_true
+            mask[t, :200] = True
+        u0 = np.array([0.3, 0.2, 0.9], np.float32)
+        u0 /= np.linalg.norm(u0)
+        res = fit_revolute_joint(
+            jnp.asarray(parent_T), jnp.asarray(obs), jnp.asarray(mask),
+            jnp.asarray(u0), jnp.zeros(3, jnp.float32), jnp.zeros(T, jnp.float32),
+            steps=300,
+        )
+        cos = abs(float(res.axis @ u_true))
+        assert np.degrees(np.arccos(min(1.0, cos))) < 2.0
+        np.testing.assert_allclose(
+            np.asarray(res.thetas), [0, 0.15, 0.3, 0.45, 0.6], atol=0.02
+        )
+
+    def test_gradients_finite_at_zero_angle(self):
+        # regression: rotvec norm gradient at theta == 0 must not NaN
+        from autourdf_tpu.core import rotations as R
+
+        g = jax.grad(lambda th: jnp.sum(R.rotvec_to_matrix(jnp.ones(3) * th)))(0.0)
+        assert np.isfinite(float(g))
+
+
+class TestChainRefine:
+    def test_improves_perturbed_axes(self, rng):
+        # synthetic 2-link chain via the CoordMap fixture machinery
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_structure_joints_mesh import make_hinge_coordmap
+
+        from autourdf_tpu.structure import (
+            cluster_mst,
+            combined_sum_map,
+            coord_clustering,
+            kinematics_tree,
+        )
+
+        cm = make_hinge_coordmap(num_frames=6, angle_step=0.2)
+        sum_map = combined_sum_map([cm], "pose")
+        groups, _, _ = coord_clustering(sum_map, 2)
+        g0 = cluster_mst(cm)
+        links = kinematics_tree(cm, groups, g0)
+
+        # frames = world clouds reconstructed from the coordmap
+        frames = []
+        for t in range(6):
+            pts = np.asarray(cm.cluster_points[t])
+            labels = np.asarray(cm.cluster_labels[t])
+            world = np.zeros_like(pts)
+            for k in range(cm.num_coords):
+                sel = labels == k
+                M = cm.matrices[t, k]
+                world[sel] = pts[sel] @ M[:3, :3].T + M[:3, 3]
+            frames.append(world.astype(np.float32))
+        frames = np.stack(frames)[None]  # (1, T, N, 3)
+
+        # start from a deliberately wrong joint: axis tilted 25 degrees
+        bad_axis = ScipyRot.from_rotvec([0.44, 0, 0]).as_matrix() @ np.array([0, 0, 1.0])
+        child = links[1]
+        joints = [JointEstimate(
+            parent_link=links[0].id, child_link=child.id,
+            local_axis=bad_axis, local_pos=np.zeros(4),
+            global_pos=np.array([0.02, -0.03, 0.0]),
+            global_axis=bad_axis,
+        )]
+        refined, result = refine_chain(
+            links, joints, [cm], frames, steps=200, points_per_link=256,
+        )
+        ax = refined[0].global_axis / np.linalg.norm(refined[0].global_axis)
+        err = np.degrees(np.arccos(min(1.0, abs(ax @ np.array([0, 0, 1.0])))))
+        assert err < 5.0, f"axis err {err}"
+        # origin should lie near the true axis (through origin)
+        gp = refined[0].global_pos[:3]
+        perp = gp - (gp @ np.array([0, 0, 1.0])) * np.array([0, 0, 1.0])
+        assert np.linalg.norm(perp) < 0.05
