@@ -207,7 +207,8 @@ def run_build_urdf(
         _, frames = load_raw_sequences(cfg.raw_dir(), end_video or cfg.num_videos)
         frames = frames[:, cfg.start_steps : cfg.end_steps]
         joints, _ = refine_chain(
-            links, joints, cms, frames, steps=refine_steps, verbose=verbose
+            links, joints, cms, frames, steps=refine_steps,
+            points_per_link=1024, verbose=verbose,
         )
 
     # link artifacts + meshes from the first sequence only (reference :726)
