@@ -70,6 +70,10 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int, default=300)
     p.add_argument("--backend", type=str, default="auto",
                    choices=["auto", "pallas", "xla"])
+    p.add_argument("--mlp_icp", action="store_true",
+                   help="refine each cluster with masked ICP instead of the anchor MLP")
+    p.add_argument("--normal", action="store_true",
+                   help="augment clustering features with point normals")
 
     p = sub.add_parser("urdf", help="structure discovery -> URDF")
     _add_common(p)
@@ -113,7 +117,9 @@ def main(argv=None) -> int:
                                     ground=args.ground, epochs=args.epoch)
         print(json.dumps({"sequences": dirs}))
     elif args.cmd == "register":
-        stats = workflow.run_registration(cfg, chamfer_backend=args.backend)
+        stats = workflow.run_registration(cfg, chamfer_backend=args.backend,
+                                          mlp_icp=args.mlp_icp,
+                                          use_normals=args.normal)
         print(json.dumps(stats))
     elif args.cmd == "urdf":
         cfg = cfg.replace(start_steps=args.start_steps, end_steps=args.end_steps)

@@ -47,6 +47,7 @@ class RegistrationConfig(NamedTuple):
     icp_iterations: int = 30
     icp_box_scale: float = 1.2
     dispatch_epochs: int = 100     # max epochs per device dispatch (batched driver)
+    use_normals: bool = False      # 6-D k-means features (xyz + 0.5*normals)
 
 
 class SequenceResult(NamedTuple):
@@ -104,7 +105,16 @@ def _frame_step(model: PoseRegressor, cfg: RegistrationConfig, anchor_points, an
 
         # --- resample: warm-started k-means of the target frame around the
         # updated centers, then re-express points in their cluster frames
-        km = lloyd(target, new_m[:, :3, 3], iters=cfg.kmeans_iters)
+        if cfg.use_normals:
+            from ..ops.plane import estimate_normals
+
+            feats = jnp.concatenate([target, 0.5 * estimate_normals(target, k=30)], -1)
+            init_c = jnp.concatenate(
+                [new_m[:, :3, 3], jnp.zeros((new_m.shape[0], 3), target.dtype)], -1
+            )
+            km = lloyd(feats, init_c, iters=cfg.kmeans_iters)
+        else:
+            km = lloyd(target, new_m[:, :3, 3], iters=cfg.kmeans_iters)
         new_labels = km.labels
         new_points = local_points_from_labels(new_m, target, new_labels)
 
@@ -213,7 +223,16 @@ def _batched_phases(model: PoseRegressor, cfg: RegistrationConfig):
     @jax.jit
     def resample_phase(matrices, target):
         def one(m, t):
-            km = lloyd(t, m[:, :3, 3], iters=cfg.kmeans_iters)
+            if cfg.use_normals:
+                from ..ops.plane import estimate_normals
+
+                feats = jnp.concatenate([t, 0.5 * estimate_normals(t, k=30)], -1)
+                init_c = jnp.concatenate(
+                    [m[:, :3, 3], jnp.zeros((m.shape[0], 3), t.dtype)], -1
+                )
+                km = lloyd(feats, init_c, iters=cfg.kmeans_iters)
+            else:
+                km = lloyd(t, m[:, :3, 3], iters=cfg.kmeans_iters)
             pts = local_points_from_labels(m, t, km.labels)
             return pts, km.labels
         return jax.vmap(one)(matrices, target)

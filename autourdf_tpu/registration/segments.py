@@ -42,8 +42,19 @@ def initial_segments(
     mask: jax.Array | None = None,
     kmeans_iters: int = 64,
     n_init: int = 4,
+    use_normals: bool = False,
 ) -> SegmentInit:
-    res = kmeans(key, frame0, num_seg, iters=kmeans_iters, mask=mask, n_init=n_init)
+    """``use_normals`` augments the k-means features with 0.5-scaled PCA
+    normals (the reference's --normal mode, cluster_icp.py:47-63)."""
+    if use_normals:
+        from ..ops.plane import estimate_normals
+
+        normals = estimate_normals(frame0, k=30)
+        feats = jnp.concatenate([frame0, 0.5 * normals], axis=-1)
+        res = kmeans(key, feats, num_seg, iters=kmeans_iters, mask=mask, n_init=n_init)
+        res = res._replace(centers=res.centers[:, :3])
+    else:
+        res = kmeans(key, frame0, num_seg, iters=kmeans_iters, mask=mask, n_init=n_init)
     # cluster frames: identity rotation at the *mean of member points*
     # (reference recomputes the mean rather than using the k-means center —
     # identical at convergence, but keep the same definition)

@@ -60,6 +60,8 @@ def run_registration(
     cfg: PipelineConfig,
     chamfer_backend: str = "auto",
     seed: int = 0,
+    mlp_icp: bool = False,
+    use_normals: bool = False,
     verbose: bool = True,
 ) -> dict:
     """Register all sequences in one batched device program; save artifacts."""
@@ -78,11 +80,13 @@ def run_registration(
 
     frames_j = jnp.asarray(frames)
     key = jax.random.PRNGKey(seed)
-    init = initial_segments(key, frames_j[0, 0], robot.num_seg, n_init=10)
+    init = initial_segments(key, frames_j[0, 0], robot.num_seg, n_init=10,
+                            use_normals=use_normals)
 
     reg_cfg = RegistrationConfig(
         num_seg=robot.num_seg, mode=cfg.rot, epochs=cfg.epochs,
-        chamfer_backend=chamfer_backend,
+        chamfer_backend=chamfer_backend, mlp_icp=mlp_icp,
+        use_normals=use_normals,
     )
     model = PoseRegressor(mode=cfg.rot, hidden_dim=512)
 
