@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .knn import Norm, nn_search
+from .knn import Norm, nn_search, nn_search_bidirectional
 
 
 def _pointwise(diff: jax.Array, norm: int) -> jax.Array:
@@ -62,8 +62,9 @@ def chamfer_distance(
     xs = _apply_mask(x, x_mask)
     ys = _apply_mask(y, y_mask)
 
-    _, ix = nn_search(jax.lax.stop_gradient(xs), jax.lax.stop_gradient(ys), norm, backend)
-    _, iy = nn_search(jax.lax.stop_gradient(ys), jax.lax.stop_gradient(xs), norm, backend)
+    _, ix, _, iy = nn_search_bidirectional(
+        jax.lax.stop_gradient(xs), jax.lax.stop_gradient(ys), norm, backend
+    )
 
     d_xy = _pointwise(x - y[ix], norm)
     d_yx = _pointwise(y - x[iy], norm)

@@ -126,6 +126,97 @@ def _nn_xla(x: jax.Array, y: jax.Array, norm: int, chunk: int = 1024):
     return dist.reshape(-1)[:n], idx.reshape(-1)[:n]
 
 
+# ---------------------------------------------------------------------------
+# Fused bidirectional kernel: one pass over the distance blocks produces the
+# row minima (x -> y) AND per-tile column minima (y -> x), halving the
+# distance-computation work of a symmetric Chamfer loss.
+# ---------------------------------------------------------------------------
+
+def _nn_bidir_kernel(x_ref, yt_ref, dist_ref, idx_ref, cmin_ref, carg_ref,
+                     *, norm: int, tx: int):
+    i = pl.program_id(0)
+    x0 = x_ref[:, 0:1].astype(jnp.float32)
+    x1 = x_ref[:, 1:2].astype(jnp.float32)
+    x2 = x_ref[:, 2:3].astype(jnp.float32)
+    y0 = yt_ref[0:1, :].astype(jnp.float32)
+    y1 = yt_ref[1:2, :].astype(jnp.float32)
+    y2 = yt_ref[2:3, :].astype(jnp.float32)
+    if norm == 1:
+        acc = jnp.abs(x0 - y0) + jnp.abs(x1 - y1) + jnp.abs(x2 - y2)
+    else:
+        d0, d1, d2 = x0 - y0, x1 - y1, x2 - y2
+        acc = d0 * d0 + d1 * d1 + d2 * d2
+    dist_ref[:] = jnp.min(acc, axis=1, keepdims=True)
+    idx_ref[:] = jnp.argmin(acc, axis=1).astype(jnp.int32)[:, None]
+    # column minima land in this program's row of the shared (tiles, M) block
+    cmin_ref[pl.ds(i, 1), :] = jnp.min(acc, axis=0, keepdims=True)
+    carg_ref[pl.ds(i, 1), :] = (
+        jnp.argmin(acc, axis=0).astype(jnp.int32)[None, :] + i * tx
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("norm", "tx", "interpret"))
+def _nn_bidir_pallas(x: jax.Array, y: jax.Array, norm: int, tx: int, interpret: bool):
+    n, m = x.shape[0], y.shape[0]
+    yp = pad_points(y, 512)
+    mp = yp.shape[0]
+    while tx > 8 and tx * mp * 4 > 6 * 1024 * 1024:
+        tx //= 2
+    xp = pad_points(x, tx)
+    np_ = xp.shape[0]
+    num_tiles = np_ // tx
+    yt = yp.T
+
+    dist, idx, cmin, carg = pl.pallas_call(
+        functools.partial(_nn_bidir_kernel, norm=norm, tx=tx),
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((tx, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tx, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tx, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_tiles, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_tiles, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, 1), jnp.float32),
+            jax.ShapeDtypeStruct((np_, 1), jnp.int32),
+            jax.ShapeDtypeStruct((num_tiles, mp), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, mp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(xp, yt)
+    # fold per-tile column minima into the y -> x direction
+    tile_pick = jnp.argmin(cmin, axis=0)            # (Mp,)
+    dy = jnp.min(cmin, axis=0)[:m]
+    iy = jnp.take_along_axis(carg, tile_pick[None, :], axis=0)[0, :m]
+    return dist[:n, 0], idx[:n, 0], dy, iy
+
+
+def nn_search_bidirectional(
+    x: jax.Array,
+    y: jax.Array,
+    norm: Norm = 1,
+    backend: str = "auto",
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Both nearest-neighbor directions from one pass: (dx, ix, dy, iy).
+
+    Equivalent to two nn_search calls but computes every pairwise distance
+    once — the symmetric Chamfer's inner loop at half the VPU work.
+    """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+    if backend == "pallas":
+        return _nn_bidir_pallas(x, y, norm, 256, interpret=False)
+    if backend == "pallas_interpret":
+        return _nn_bidir_pallas(x, y, norm, 256, interpret=True)
+    dx, ix = _nn_xla(x, y, norm)
+    dy, iy = _nn_xla(y, x, norm)
+    return dx, ix, dy, iy
+
+
 def nn_search(
     x: jax.Array,
     y: jax.Array,
