@@ -84,9 +84,9 @@ def main(argv=None) -> int:
     p.add_argument("--end-video", "--end_video", dest="end_video", type=int, default=1)
     p.add_argument("--dist-mode", type=str, default="pose",
                    choices=["pose", "diff", "legacy"])
-    p.add_argument("--dof-method", type=str, default="gap",
-                   choices=["gap", "silhouette"],
-                   help="gap = merge-height ratio (ours); silhouette = reference parity")
+    p.add_argument("--dof-method", type=str, default="auto",
+                   choices=["auto", "gap", "silhouette"],
+                   help="auto = gap when decisive else silhouette; silhouette = reference parity")
     p.add_argument("--refine", type=str, default="chain", choices=["chain", "none"],
                    help="global kinematic-chain joint refinement (ours); none = reference parity")
     p.add_argument("--refine-steps", type=int, default=400)

@@ -1,4 +1,5 @@
 from .clustering import (
+    auto_dof_search,
     coord_clustering,
     merge_gap_dof_search,
     silhouette_dof_search,
@@ -26,6 +27,7 @@ __all__ = [
     "coord_clustering",
     "silhouette_dof_search",
     "merge_gap_dof_search",
+    "auto_dof_search",
     "single_linkage_components",
     "cluster_mst",
     "kinematics_tree",

@@ -90,6 +90,25 @@ def merge_gap_dof_search(
     return groups, labels, scores, nls
 
 
+def auto_dof_search(
+    d_map: np.ndarray,
+    link_range: tuple[int, int] | None = None,
+    gap_threshold: float = 1.45,
+) -> tuple[list[set[int]], np.ndarray, list[float], np.ndarray]:
+    """Hybrid model selection: trust the merge-gap pick only when the gap
+    is decisive (best height ratio >= gap_threshold); otherwise fall back
+    to the reference's silhouette scan.
+
+    Calibration: wx200 (true 6 links) shows ratio 1.78 at the correct cut
+    while silhouette merges base+shoulder; franka's landscape has no ratio
+    above 1.31 anywhere and the gap pick over-segments badly.
+    """
+    groups, labels, ratios, nls = merge_gap_dof_search(d_map, link_range)
+    if max(ratios) >= gap_threshold:
+        return groups, labels, ratios, nls
+    return silhouette_dof_search(d_map, link_range)
+
+
 def silhouette_dof_search(
     d_map: np.ndarray, link_range: tuple[int, int] | None = None
 ) -> tuple[list[set[int]], np.ndarray, list[float], np.ndarray]:

@@ -152,7 +152,7 @@ def run_build_urdf(
     cfg: PipelineConfig,
     unknown_dof: bool = True,
     dist_mode: str = "pose",
-    dof_method: str = "gap",
+    dof_method: str = "auto",
     end_video: int | None = None,
     refine: str = "chain",
     refine_steps: int = 400,
@@ -169,6 +169,7 @@ def run_build_urdf(
     from .structure import (
         canonical_link_clouds,
         cluster_mst,
+        auto_dof_search,
         combined_sum_map,
         consolidate_links,
         coord_clustering,
@@ -185,7 +186,8 @@ def run_build_urdf(
     sum_map = combined_sum_map(cms, dist_mode)
 
     if unknown_dof:
-        search = merge_gap_dof_search if dof_method == "gap" else silhouette_dof_search
+        search = {"gap": merge_gap_dof_search, "silhouette": silhouette_dof_search,
+                  "auto": auto_dof_search}[dof_method]
         groups, labels, scores, nls = search(sum_map)
         dof = len(groups) - 1
         if verbose:
