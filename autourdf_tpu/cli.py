@@ -97,6 +97,13 @@ def main(argv=None) -> int:
                    help="path to a reference-format joint index map txt")
     p.add_argument("--num-configs", type=int, default=3)
 
+    p = sub.add_parser("view", help="render a URDF: axis snapshot + joint sweep GIFs")
+    _add_common(p)
+    p.add_argument("--urdf", type=str, default=None,
+                   help="URDF path (default: this robot's recovered URDF)")
+    p.add_argument("--out-dir", type=str, default="data/view")
+    p.add_argument("--sweep", action="store_true", help="also render per-joint sweep GIFs")
+
     p = sub.add_parser("all", help="dataset -> register -> urdf -> evaluate")
     _add_common(p)
     p.add_argument("--r", type=str, default="q", choices=["q", "rpy", "dq", "6d"])
@@ -137,6 +144,24 @@ def main(argv=None) -> int:
         out = workflow.run_evaluation(cfg, joint_map=jm, asset_root=args.asset_root,
                                       num_configs=args.num_configs)
         print(json.dumps(out))
+    elif args.cmd == "view":
+        import os
+
+        from . import viz
+        from .urdf.parser import load_urdf
+
+        urdf_path = args.urdf or cfg.urdf_path()
+        outs = [viz.urdf_snapshot(urdf_path, os.path.join(args.out_dir, "snapshot.png"),
+                                  asset_root=args.asset_root)]
+        if args.sweep:
+            model = load_urdf(urdf_path, asset_root=args.asset_root, load_meshes=False)
+            for j in model.revolute_joints:
+                outs.append(viz.sweep_joint_gif(
+                    urdf_path, j.name,
+                    os.path.join(args.out_dir, f"sweep_{j.name}.gif"),
+                    asset_root=args.asset_root,
+                ))
+        print(json.dumps({"outputs": outs}))
     elif args.cmd == "all":
         workflow.run_dataset(cfg, asset_root=args.asset_root,
                              ground=args.ground, epochs=args.epoch)

@@ -172,6 +172,66 @@ def animate_clouds(clouds: list[np.ndarray], path: str, labels=None,
     return path
 
 
+def replay_posed_meshes(
+    link_dir: str,
+    out_path: str,
+    start: int = 0,
+    end: int | None = None,
+    fps: int = 4,
+) -> str:
+    """Replay recovered link meshes posed by per-step link matrices
+    (reference PointCloud/mesh.py:9-56 equivalent, headless GIF)."""
+    import glob as globmod
+
+    from .io.mesh_io import load_stl, sample_surface
+
+    m_files = sorted(globmod.glob(os.path.join(link_dir, "matrix", "*.npy")))[start:end]
+    stl_files = sorted(globmod.glob(os.path.join(link_dir, "[0-9]*.stl")))
+    rng = np.random.default_rng(0)
+    link_samples = [sample_surface(load_stl(f), 800, rng) for f in stl_files]
+    clouds, labels = [], []
+    for mf in m_files:
+        mats = np.load(mf)
+        step_pts, step_lab = [], []
+        for i, pts in enumerate(link_samples):
+            T = mats[i]
+            step_pts.append(pts @ T[:3, :3].T + T[:3, 3])
+            step_lab.append(np.full(len(pts), i))
+        clouds.append(np.concatenate(step_pts))
+        labels.append(np.concatenate(step_lab))
+    return animate_clouds(clouds, out_path, labels=labels, fps=fps)
+
+
+def urdf_snapshot(
+    urdf_path: str,
+    out_path: str,
+    q: dict | None = None,
+    num_points: int = 4000,
+    asset_root: str | None = None,
+) -> str:
+    """Render a URDF at a configuration with its joint axes drawn
+    (Sim/test_urdf.py's axis visualization, headless)."""
+    from .urdf.fk import joint_world_frames, link_points_world, sample_link_surfaces
+    from .urdf.parser import load_urdf
+
+    model = load_urdf(urdf_path, asset_root=asset_root)
+    samples = sample_link_surfaces(model, total_points=num_points * 4)
+    pts = link_points_world(model, samples, q or {})
+    frames = joint_world_frames(model, q or {})
+
+    fig = plt.figure(figsize=(7, 7))
+    ax = fig.add_subplot(projection="3d")
+    _scatter3d(ax, pts[:: max(1, len(pts) // num_points)], s=1, color="gray")
+    span = max(float(np.ptp(pts, axis=0).max()), 1e-6)
+    for f in frames:
+        d = f.axis / max(np.linalg.norm(f.axis), 1e-9) * 0.12 * span
+        ax.plot(*np.stack([f.position - d, f.position + d]).T, color="red", lw=2)
+        ax.text(*f.position, f.name, fontsize=7)
+    _equal_aspect(ax, pts)
+    ax.set_axis_off()
+    return _save(fig, out_path)
+
+
 def sweep_joint_gif(
     urdf_path: str,
     joint_name: str,

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import PipelineConfig, get_robot
+from .utils.telemetry import Telemetry
 from .io.artifacts import (
     list_sequence_dirs,
     load_registration,
@@ -33,8 +34,19 @@ from .models.regmlp import PoseRegressor, init_params
 def load_raw_sequences(
     raw_dir: str, num_videos: int, num_points: int | None = None
 ) -> tuple[list[str], np.ndarray]:
-    """Read data/raw sequence dirs -> (names, (S, T, N, 3) frames)."""
+    """Read data/raw sequence dirs -> (names, (S, T, N, 3) frames).
+
+    Falls back to the flat real-data layout ``data/raw/{robot}/*/`` (no
+    step/cams subdir) when the simulated layout is absent — the
+    reference's real-scan path (mlp_reg.py:424-426).
+    """
     seq_dirs = list_sequence_dirs(raw_dir)[:num_videos]
+    if not seq_dirs:
+        parent = os.path.dirname(raw_dir)
+        seq_dirs = [
+            d for d in list_sequence_dirs(parent)
+            if glob.glob(os.path.join(d, "*", "robot.ply"))
+        ][:num_videos]
     if not seq_dirs:
         raise FileNotFoundError(f"no raw sequences under {raw_dir}")
     all_seqs = []
@@ -49,11 +61,16 @@ def load_raw_sequences(
     return names, np.stack(all_seqs)
 
 
+def _telemetry(cfg: PipelineConfig) -> Telemetry:
+    return Telemetry(path=os.path.join(cfg.data_root, "telemetry.json"))
+
+
 def run_dataset(cfg: PipelineConfig, asset_root: str | None = None,
                 ground: bool = False, epochs: int = 5) -> list[str]:
     from .sim.datagen import collect
 
-    return collect(cfg, asset_root=asset_root, ground=ground, epochs=epochs)
+    with _telemetry(cfg).stage("dataset", robot=cfg.robot, epochs=epochs):
+        return collect(cfg, asset_root=asset_root, ground=ground, epochs=epochs)
 
 
 def run_registration(
@@ -109,6 +126,10 @@ def run_registration(
         print(f"[register] {elapsed:.2f}s for {frames_registered} frame pairs "
               f"({frames_registered / elapsed:.2f} frames/s)")
 
+    telem = _telemetry(cfg)
+    with telem.stage("register", robot=cfg.robot, frames=frames_registered,
+                     seconds_compute=round(elapsed, 3)):
+        pass
     for s, name in enumerate(names):
         save_dir = os.path.join(cfg.part_dir(), name)
         save_registration(
