@@ -85,18 +85,26 @@ def main() -> None:
     sp = jax.vmap(mk)(keys[:S])
     ap = jax.vmap(mk)(keys[S:])
 
-    # compile (not timed)
+    # compile + drain every queued program (not timed).  Synchronize via a
+    # host value fetch: under the remote executor, block_until_ready has
+    # been observed returning while work is still queued.
     result = register_sequences_batched(model, reg_cfg, sp, ap, init, frames)
-    jax.block_until_ready(result.matrices)
+    float(np.mean(np.asarray(result.losses)))
+    np.asarray(result.matrices)
 
+    # timed run on perturbed inputs: the remote executor elides re-execution
+    # of byte-identical programs+inputs, which would fake a ~100x speedup
+    frames_timed = frames + 1e-6
     t0 = time.time()
-    result = register_sequences_batched(model, reg_cfg, sp, ap, init, frames)
-    jax.block_until_ready(result.matrices)
+    result = register_sequences_batched(model, reg_cfg, sp, ap, init, frames_timed)
+    # time-to-value: fetch the losses to host — block_until_ready alone has
+    # been observed returning early through the remote-executor queue
+    mean_loss = float(np.mean(np.asarray(result.losses)))
+    np.asarray(result.matrices)
     elapsed = time.time() - t0
 
     frames_registered = S * (T - 1)
     fps = frames_registered / elapsed
-    mean_loss = float(np.mean(np.asarray(result.losses)))
     print(
         json.dumps(
             {
