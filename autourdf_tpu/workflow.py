@@ -238,8 +238,11 @@ def run_build_urdf(
             points_per_link=1024, verbose=verbose,
         )
 
-    # link artifacts + meshes from the first sequence only (reference :726)
-    art = consolidate_links(cms[0], [l.cluster_idx for l in links])
+    # link artifacts + meshes from the first sequence only (reference :726).
+    # Order by link id: the URDF writer references {id:04}.stl, while the
+    # tree list is in BFS order — mixing the two scrambles mesh assignment.
+    links_by_id = sorted(links, key=lambda l: l.id)
+    art = consolidate_links(cms[0], [l.cluster_idx for l in links_by_id])
     art = refine_link_clusters(art)
     seq_name = os.path.basename(os.path.normpath(part_dirs[0]))
     link_dir = os.path.join(cfg.mesh_dir(), seq_name)

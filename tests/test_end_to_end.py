@@ -101,6 +101,27 @@ class TestEndToEnd:
         *_, eval_out, root = pipeline_run
         assert eval_out["chamfer_mean"] < 0.25, eval_out
 
+    def test_urdf_assembles_at_zero_config(self, pipeline_run):
+        # the recovered URDF posed at q=0 must reproduce frame 0's geometry
+        # (regression: mesh files were once written in tree order while the
+        # URDF references them by link id — a silent scramble)
+        import jax.numpy as jnp
+
+        from autourdf_tpu.io import read_ply
+        from autourdf_tpu.ops import chamfer_distance
+        from autourdf_tpu.urdf import load_urdf, link_points_world, sample_link_surfaces
+
+        cfg, seq_dirs, _, urdf_out, _, root = pipeline_run
+        model = load_urdf(str(root / urdf_out["urdf_path"]))
+        samples = sample_link_surfaces(model, total_points=4000)
+        pts = link_points_world(model, samples, {})
+        raw0 = read_ply(str(root / seq_dirs[0] / "0000" / "robot.ply"))
+        d = float(chamfer_distance(
+            jnp.asarray(pts, jnp.float32), jnp.asarray(raw0), backend="xla"
+        ))
+        # voxel meshing at 0.02 m dominates; a scramble would be >0.3
+        assert d < 0.15, f"assembled chamfer {d}"
+
     def test_artifacts_roundtrip(self, pipeline_run):
         cfg, *_, root = pipeline_run
         from autourdf_tpu.io.artifacts import list_sequence_dirs, load_registration
