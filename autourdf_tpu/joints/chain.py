@@ -37,21 +37,9 @@ from .screw import JointEstimate
 
 
 def _link_frame_np(cm, members, t) -> np.ndarray:
-    """(4,4) link frame (mean pos + eigen-avg quat) in pure numpy — the
-    jnp version costs a device dispatch per call, which multiplies badly
-    across S x J x T initializations."""
-    from scipy.spatial.transform import Rotation as ScipyRot
+    from ..core.quat_np import mean_link_frame_np
 
-    coords = cm.coords[t, members, :]
-    pos = coords[:, :3].mean(0)
-    quats = coords[:, 3:]
-    A = quats.T @ quats / len(quats)
-    _, vecs = np.linalg.eigh(A)
-    q = vecs[:, -1]  # wxyz
-    T = np.eye(4)
-    T[:3, :3] = ScipyRot.from_quat(np.concatenate([q[1:], q[:1]])).as_matrix()
-    T[:3, 3] = pos
-    return T
+    return mean_link_frame_np(cm.coords[t, members, :])
 
 
 class ChainSpec(NamedTuple):
@@ -68,10 +56,7 @@ class ChainResult(NamedTuple):
     loss: jax.Array
 
 
-def _rot_about(u, o, theta):
-    rot = R.rotvec_to_matrix(u * theta)
-    t = o - rot @ o
-    return se3.make_transform(rot, t)
+from .refine import _rot_about_axis as _rot_about
 
 
 def chain_world_transforms(spec: ChainSpec, frames0: jax.Array,

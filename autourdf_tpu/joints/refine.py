@@ -167,7 +167,7 @@ def refine_joints(
         rel0 = inv_p0 @ child_T[0]
         for t in range(1, T_steps):
             rel_t = np.linalg.inv(np.asarray(parent_T[t], np.float64)) @ child_T[t]
-            d_rel = np.linalg.inv(rel0) @ rel_t
+            d_rel = rel_t @ np.linalg.inv(rel0)
             from scipy.spatial.transform import Rotation as ScipyRot
 
             rv = ScipyRot.from_matrix(d_rel[:3, :3]).as_rotvec()

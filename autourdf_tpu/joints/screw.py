@@ -20,28 +20,20 @@ import numpy as np
 from typing import TYPE_CHECKING
 
 from ..core import se3
+from ..core.quat_np import average_quaternions_np, pose_to_matrix_np
 
 if TYPE_CHECKING:  # type-only; avoids a circular import with structure/
     from ..structure.coord_map import CoordMap
     from ..structure.tree import LinkNode
 
 
-def _eigen_avg_quat(quats: np.ndarray) -> np.ndarray:
-    A = quats.T @ quats / len(quats)
-    _, vecs = np.linalg.eigh(A)
-    return vecs[:, -1]
-
-
 def cluster_pose_mean(cm: "CoordMap", members: list[int], step: int) -> tuple[np.ndarray, np.ndarray]:
     coords = cm.coords[step, members, :]
-    return coords[:, :3].mean(0), _eigen_avg_quat(coords[:, 3:])
+    return coords[:, :3].mean(0), average_quaternions_np(coords[:, 3:])
 
 
 def _pose_to_matrix(pos: np.ndarray, quat: np.ndarray) -> np.ndarray:
-    return np.asarray(
-        se3.xyzquat_to_matrix(jnp.asarray(np.concatenate([pos, quat]), jnp.float32)),
-        dtype=np.float64,
-    )
+    return pose_to_matrix_np(pos, quat)
 
 
 def _relative(Ta: np.ndarray, Tb: np.ndarray) -> np.ndarray:
@@ -92,8 +84,12 @@ def filter_screws(
         if np.linalg.norm(a) > 0.5 and ang > min_angle and np.all(np.isfinite(p))
     ]
     if not keep:
-        best = int(np.argmax(angles))
-        keep = [best]
+        if not angles:
+            raise ValueError(
+                "no screw samples: the pose series needs at least two steps "
+                "(end_steps - start_steps must be >= 2)"
+            )
+        keep = [int(np.argmax(angles))]
     return [axes[i] for i in keep], [points[i] for i in keep]
 
 

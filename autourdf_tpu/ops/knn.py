@@ -155,13 +155,23 @@ def _nn_bidir_kernel(x_ref, yt_ref, dist_ref, idx_ref, cmin_ref, carg_ref,
     )
 
 
+def _bidir_vmem_ok(n: int, m: int, tx: int) -> bool:
+    """The distance block AND the (tiles, M) column outputs must fit VMEM;
+    unlike the unidirectional kernel, shrinking tx grows the column blocks,
+    so past a point the only option is the two-pass fallback."""
+    np_ = _round_up(max(n, 1), tx)
+    mp = _round_up(max(m, 1), 512)
+    num_tiles = np_ // tx
+    acc_bytes = tx * mp * 4
+    col_bytes = 2 * num_tiles * mp * 4
+    return acc_bytes + col_bytes <= 6 * 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("norm", "tx", "interpret"))
 def _nn_bidir_pallas(x: jax.Array, y: jax.Array, norm: int, tx: int, interpret: bool):
     n, m = x.shape[0], y.shape[0]
     yp = pad_points(y, 512)
     mp = yp.shape[0]
-    while tx > 8 and tx * mp * 4 > 6 * 1024 * 1024:
-        tx //= 2
     xp = pad_points(x, tx)
     np_ = xp.shape[0]
     num_tiles = np_ // tx
@@ -208,10 +218,21 @@ def nn_search_bidirectional(
     """
     if backend == "auto":
         backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
-    if backend == "pallas":
-        return _nn_bidir_pallas(x, y, norm, 256, interpret=False)
-    if backend == "pallas_interpret":
-        return _nn_bidir_pallas(x, y, norm, 256, interpret=True)
+    if backend in ("pallas", "pallas_interpret"):
+        # fused kernel only when both the block and column outputs fit;
+        # otherwise two one-directional searches (which have their own
+        # graceful degradation to the chunked XLA path)
+        tx = next(
+            (t for t in (256, 128, 64) if _bidir_vmem_ok(x.shape[0], y.shape[0], t)),
+            None,
+        )
+        if tx is not None:
+            return _nn_bidir_pallas(
+                x, y, norm, tx, interpret=backend == "pallas_interpret"
+            )
+        dx, ix = nn_search(x, y, norm, backend)
+        dy, iy = nn_search(y, x, norm, backend)
+        return dx, ix, dy, iy
     dx, ix = _nn_xla(x, y, norm)
     dy, iy = _nn_xla(y, x, norm)
     return dx, ix, dy, iy

@@ -180,8 +180,10 @@ def train_epochs(
         bad_count = jnp.where(improved, 0, c.bad_count + 1)
         stop_now = bad_count > stop_patience
 
+        # torch ordering: optimizer.step() runs with the current lr, then
+        # scheduler.step(loss) — a plateau reduction takes effect NEXT epoch
+        new_params, opt = adam_update(grads, c.opt, c.params, c.sched.lr)
         sched = plateau_update(c.sched, loss, scheduler_factor, scheduler_patience)
-        new_params, opt = adam_update(grads, c.opt, c.params, sched.lr)
 
         # Early-stop freeze: past the stop point, carry passes through
         # unchanged (matches the reference's loop break).

@@ -33,6 +33,7 @@ class CollisionChecker:
             else:
                 self.subsets[name] = pts
 
+        self.baseline: dict[tuple[str, str], float] = {}
         adjacent = set()
         for j in model.joints:
             adjacent.add(frozenset((j.parent, j.child)))
@@ -65,8 +66,6 @@ class CollisionChecker:
             if j.type == "fixed":
                 parent[find(j.parent)] = find(j.child)
         return {n: find(n) for n in self.model.links}
-
-        self.baseline: dict[tuple[str, str], float] = {}
 
     def _pair_distances(
         self, world: dict[str, np.ndarray], reject: float

@@ -59,7 +59,7 @@ def generate_sequence(
             write_ply(os.path.join(sub_path, "robot.ply"), cloud)
             with open(os.path.join(sub_path, "joint_cfg.txt"), "w") as f:
                 for name, pos in achieved.items():
-                    f.write(f"{name}:{pos:,.6f}\n")
+                    f.write(f"{name}:{pos:.6f}\n")
     return False, clouds
 
 

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import se3
+from ..core.quat_np import mean_link_frame_np
 from ..io.artifacts import save_cluster_npz
 from ..ops.icp import icp_point_to_point
 from .coord_map import CoordMap
@@ -33,20 +34,9 @@ class LinkArtifacts:
     refined: list[list[np.ndarray]] | None = None  # [T][L] step->0 aligned
 
 
-def _eigen_avg_quat(quats: np.ndarray) -> np.ndarray:
-    A = quats.T @ quats / len(quats)
-    _, vecs = np.linalg.eigh(A)
-    return vecs[:, -1]
-
-
 def link_frame(cm: CoordMap, members: list[int], t: int) -> np.ndarray:
     """(4, 4) link frame at step t: mean xyz + eigen-average quaternion."""
-    coords = cm.coords[t, members, :]
-    pos = coords[:, :3].mean(0)
-    quat = _eigen_avg_quat(coords[:, 3:])
-    T = np.asarray(se3.xyzquat_to_matrix(jnp.asarray(
-        np.concatenate([pos, quat]), jnp.float32)), dtype=np.float64)
-    return T
+    return mean_link_frame_np(cm.coords[t, members, :])
 
 
 def consolidate_links(cm: CoordMap, groups: list[set[int]]) -> LinkArtifacts:

@@ -224,8 +224,9 @@ def run_build_urdf(
 
     g0 = cluster_mst(cms[0])
     links = kinematics_tree(cms[0], groups, g0)
+    # cms are already sliced to [start_steps:end_steps]; index them 0-based
     joints = estimate_joints_from_tree(
-        links, cms, cfg.start_steps, cfg.end_steps - cfg.start_steps, interval=4
+        links, cms, 0, cfg.end_steps - cfg.start_steps, interval=4
     )
 
     if refine == "chain" and joints:
