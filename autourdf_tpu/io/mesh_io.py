@@ -119,17 +119,70 @@ def load_obj(path: str) -> TriMesh:
     )
 
 
-def load_dae(path: str) -> TriMesh:
-    """COLLADA geometry: concatenated <triangles>/<polylist> of all meshes.
+def _dae_node_transforms(root, ns) -> dict[str, np.ndarray]:
+    """geometry id -> accumulated (4, 4) scene-node transform.
 
-    Ignores materials/scenes/skinning — sufficient for the visual meshes the
-    reference robots use (applies any unit scale found in <asset>).
+    Blender-style exports put the real scale/orientation in visual-scene
+    node matrices (the <asset> unit/up_axis tags are often wrong, e.g. the
+    ur5e meshes declare meters/Z_UP but store millimeter Y-up data), so
+    ignoring nodes yields meshes ~1000x off.
+    """
+    out: dict[str, np.ndarray] = {}
+
+    def local_transform(node) -> np.ndarray:
+        T = np.eye(4)
+        for ch in node:
+            tag = ch.tag.split("}")[-1]
+            if ch.text is None:
+                continue
+            vals = np.array(ch.text.split(), dtype=np.float64)
+            if tag == "matrix" and vals.size == 16:
+                T = T @ vals.reshape(4, 4)
+            elif tag == "translate" and vals.size == 3:
+                M = np.eye(4)
+                M[:3, 3] = vals
+                T = T @ M
+            elif tag == "rotate" and vals.size == 4:
+                from scipy.spatial.transform import Rotation as ScipyRot
+
+                M = np.eye(4)
+                M[:3, :3] = ScipyRot.from_rotvec(
+                    vals[:3] / max(np.linalg.norm(vals[:3]), 1e-12)
+                    * np.deg2rad(vals[3])
+                ).as_matrix()
+                T = T @ M
+            elif tag == "scale" and vals.size == 3:
+                T = T @ np.diag(np.concatenate([vals, [1.0]]))
+        return T
+
+    def walk(node, parent_T):
+        T = parent_T @ local_transform(node)
+        for ch in node:
+            tag = ch.tag.split("}")[-1]
+            if tag == "instance_geometry":
+                gid = (ch.get("url") or "").lstrip("#")
+                if gid:
+                    out[gid] = T
+            elif tag == "node":
+                walk(ch, T)
+        return T
+
+    for scene in root.iterfind(".//c:visual_scene", ns):
+        for node in scene.iterfind("c:node", ns):
+            walk(node, np.eye(4))
+    return out
+
+
+def load_dae(path: str) -> TriMesh:
+    """COLLADA geometry: concatenated <triangles>/<polylist> of all meshes,
+    with visual-scene node transforms and the <asset> unit scale applied.
     """
     ns = {"c": "http://www.collada.org/2005/11/COLLADASchema"}
     tree = ET.parse(path)
     root = tree.getroot()
     unit = root.find("c:asset/c:unit", ns)
     scale = float(unit.get("meter", "1")) if unit is not None else 1.0
+    node_T = _dae_node_transforms(root, ns)
 
     all_v, all_f = [], []
     offset = 0
@@ -166,6 +219,10 @@ def load_dae(path: str) -> TriMesh:
                 continue
             idx = np.array(p.text.split(), dtype=np.int64)
             verts = sources[v_src].reshape(-1, 3) * scale
+            gid = geom.get("id")
+            if gid in node_T:
+                T = node_T[gid]
+                verts = verts @ T[:3, :3].T + T[:3, 3]
             if prim.tag.endswith("polylist"):
                 vcount = np.array(
                     prim.find("c:vcount", ns).text.split(), dtype=np.int64

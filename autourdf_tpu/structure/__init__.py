@@ -6,6 +6,7 @@ from .clustering import (
     single_linkage_components,
 )
 from .coord_map import CoordMap, combined_sum_map
+from .model_select import chain_fit_dof_search
 from .links import (
     LinkArtifacts,
     canonical_link_clouds,
@@ -28,6 +29,7 @@ __all__ = [
     "silhouette_dof_search",
     "merge_gap_dof_search",
     "auto_dof_search",
+    "chain_fit_dof_search",
     "single_linkage_components",
     "cluster_mst",
     "kinematics_tree",
