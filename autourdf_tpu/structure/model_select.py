@@ -11,6 +11,13 @@ run a short global chain fit (joints/chain.py), and score
 — under-segmentation cannot explain the motion (high chamfer), while the
 per-joint penalty counters the marginal gains of over-segmentation.
 Cost: one short chain fit per candidate (~seconds each on TPU).
+
+Status: experimental — with a multiplicative per-joint penalty the
+criterion still prefers over-segmentation (extra joints absorb
+registration noise: on wx200, 18 links fit chamfer 0.0109 vs 0.0163 for
+the true 6).  A usable version needs a noise-floor-aware penalty (e.g.
+BIC with sigma estimated from the registration loss floor); see
+ROADMAP.md item 1.
 """
 
 from __future__ import annotations
