@@ -204,3 +204,53 @@ class TestCapture:
         c2, _ = capture_cloud(pts, rig, jax.random.PRNGKey(0), width=100, height=100,
                               num_points=200, pose_noise=0.01, point_noise=0.0005)
         assert float(jnp.abs(c1 - c2).max()) > 1e-4
+
+
+class TestColladaNodeTransforms:
+    def test_scene_node_scale_and_rotation_applied(self, tmp_path):
+        # Blender-style export: geometry in mm with the real scale/orientation
+        # in a visual-scene node matrix (regression: the ur5e meshes declare
+        # wrong asset units; ignoring nodes gave 1000x-too-large geometry)
+        dae = """<?xml version="1.0"?>
+<COLLADA xmlns="http://www.collada.org/2005/11/COLLADASchema" version="1.4.1">
+  <asset><unit name="meter" meter="1"/><up_axis>Z_UP</up_axis></asset>
+  <library_geometries>
+    <geometry id="g-mesh"><mesh>
+      <source id="g-pos"><float_array id="g-arr" count="9">
+        0 0 0 1000 0 0 0 1000 0</float_array></source>
+      <vertices id="g-verts"><input semantic="POSITION" source="#g-pos"/></vertices>
+      <triangles count="1"><input semantic="VERTEX" source="#g-verts" offset="0"/>
+        <p>0 1 2</p></triangles>
+    </mesh></geometry>
+  </library_geometries>
+  <library_visual_scenes><visual_scene id="s">
+    <node id="n">
+      <matrix>0.001 0 0 0  0 0 0.001 0  0 0.001 0 0  0 0 0 1</matrix>
+      <instance_geometry url="#g-mesh"/>
+    </node>
+  </visual_scene></library_visual_scenes>
+</COLLADA>
+"""
+        p = tmp_path / "m.dae"
+        p.write_text(dae)
+        from autourdf_tpu.io.mesh_io import load_dae
+
+        mesh = load_dae(str(p))
+        # mm -> m scale and the y/z swap from the node matrix
+        expect = np.asarray([[0, 0, 0], [1, 0, 0], [0, 0, 1]], float)
+        np.testing.assert_allclose(mesh.vertices, expect, atol=1e-12)
+
+    def test_reference_ur5e_dae_matches_collision(self):
+        dae = "/root/reference/Robot/ur_e_description/meshes/ur5e/visual/base.dae"
+        stl = "/root/reference/Robot/ur_e_description/meshes/ur5e/collision/base.stl"
+        if not os.path.exists(dae):
+            pytest.skip("reference assets unavailable")
+        from autourdf_tpu.io.mesh_io import load_dae, load_stl
+
+        md, ms = load_dae(dae), load_stl(stl)
+        np.testing.assert_allclose(
+            md.vertices.min(0), ms.vertices.min(0), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            md.vertices.max(0), ms.vertices.max(0), atol=2e-3
+        )
