@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from .config import PipelineConfig, load_parameters_json
@@ -117,6 +118,15 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     cfg = _cfg(args)
 
+    # AUTOURDF_PLATFORM=cpu forces the backend in-process: the deployment
+    # pins JAX_PLATFORMS at a config layer that overrides the env var, so
+    # a plain environment variable cannot select the platform.
+    platform = os.environ.get("AUTOURDF_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     from . import workflow
 
     if args.cmd == "dataset":
@@ -145,8 +155,6 @@ def main(argv=None) -> int:
                                       num_configs=args.num_configs)
         print(json.dumps(out))
     elif args.cmd == "view":
-        import os
-
         from . import viz
         from .urdf.parser import load_urdf
 

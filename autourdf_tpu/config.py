@@ -41,6 +41,10 @@ class RobotConfig:
 
 
 _R = RobotConfig
+# Values mirror the reference registry one-to-one
+# (/root/reference/parameters.json:2-303): num_seg, dof, voxel_size,
+# cam_dist, ori (pred-URDF base euler for eval), sim_ori (gt base euler
+# in sim), collision exclusions, gt URDF path.
 ROBOTS: dict[str, RobotConfig] = {
     r.name: r
     for r in [
@@ -48,27 +52,50 @@ ROBOTS: dict[str, RobotConfig] = {
         _R("wx200_5", 20, 5, "Robot/interbotix_descriptions/urdf/wx200_real.urdf"),
         _R("franka", 20, 6, "Robot/franka/franka_panda.urdf", voxel_size=0.005, cam_dist=2.5),
         _R("ur5", 20, 5, "Robot/ur_e_description/urdf/ur5e.urdf", voxel_size=0.005, cam_dist=2.5),
-        _R("bolt", 20, 6, "Robot/bolt/bolt.urdf", voxel_size=0.004, cam_dist=1.5,
-           sim_ori=(0.0, 0.0, 0.0)),
-        _R("solo8", 25, 8, "Robot/robot_properties_solo/resources/xacro/solo8.urdf",
-           voxel_size=0.005, cam_dist=2.0),
+        _R("bolt", 30, 6, "Robot/bolt/bolt.urdf", voxel_size=0.003, cam_dist=2.5,
+           sim_ori=(0.0, -0.785, 0.785)),
+        _R("allegro", 30, 11,
+           "Robot/allegro_hand_description/allegro_hand_description_left_angle.urdf",
+           voxel_size=0.003, cam_dist=0.5, ori=(0.0, 0.0, -1.57),
+           sim_ori=(0.0, -0.314, 0.785), collision_exclusion=True),
+        _R("allegro_16", 35, 16,
+           "Robot/allegro_hand_description/allegro_hand_description_left.urdf",
+           voxel_size=0.003, cam_dist=0.5, ori=(0.0, 0.0, -1.57),
+           sim_ori=(0.0, -0.314, 0.785), collision_exclusion=True),
+        _R("solo8", 35, 8, "Robot/robot_properties_solo/resources/xacro/solo8.urdf",
+           voxel_size=0.003, cam_dist=2.5),
         _R("solo12", 30, 12, "Robot/robot_properties_solo/resources/xacro/solo12.urdf",
            voxel_size=0.005, cam_dist=2.0),
-        _R("pxs", 30, 18, "Robot/interbotix_xshexapod_descriptions/urdf/pxmark4s.urdf",
-           voxel_size=0.003, cam_dist=1.5),
-        _R("allegro", 25, 16, "Robot/allegro_hand_description/allegro_hand_description_left.urdf",
-           voxel_size=0.003, cam_dist=1.5, global_scale=1.0),
-        _R("op3", 30, 18,
+        _R("nao", 35, 11, "Robot/nao/urdf/naov40.urdf", voxel_size=0.003, cam_dist=2.5),
+        _R("pxs", 45, 18, "Robot/interbotix_xshexapod_descriptions/urdf/pxmark4s.urdf",
+           voxel_size=0.003, cam_dist=1.0),
+        _R("op3", 45, 13,
            "Robot/ROBOTIS-OP3-Common-master/op3_description/op3_description/robotis_op3.urdf",
-           voxel_size=0.004, cam_dist=1.5, collision_exclusion=True),
+           voxel_size=0.004, cam_dist=1.0, collision_exclusion=True,
+           excluded_pairs=[
+               ("l_hip_yaw_link", "l_hip_pitch_link"),
+               ("r_hip_yaw_link", "r_hip_pitch_link"),
+               ("l_knee_link", "l_ank_roll_link"),
+               ("r_knee_link", "r_ank_roll_link"),
+           ]),
         # Sapien articulated objects (1-2 DoF household items)
-        _R("laptop", 15, 1, "Robot/Sapien/laptop/laptop.urdf", voxel_size=0.01, cam_dist=2.5),
-        _R("dishwasher", 15, 1, "Robot/Sapien/dishwasher/dishwasher.urdf",
-           voxel_size=0.01, cam_dist=2.5),
-        _R("trashcan", 15, 1, "Robot/Sapien/trashcan/trashcan.urdf", voxel_size=0.01, cam_dist=2.5),
-        _R("faucet", 15, 2, "Robot/Sapien/faucet/faucet.urdf", voxel_size=0.01, cam_dist=2.5),
-        _R("storage", 15, 2, "Robot/Sapien/storage/storage.urdf", voxel_size=0.01, cam_dist=2.5),
-        _R("toilet", 15, 1, "Robot/Sapien/toilet/toilet.urdf", voxel_size=0.01, cam_dist=2.5),
+        _R("laptop", 10, 1, "Robot/Sapien/laptop/laptop.urdf", voxel_size=0.02,
+           cam_dist=2.5, sim_ori=(0.0, -0.785, 0.785)),
+        _R("dishwasher", 20, 1, "Robot/Sapien/dishwasher/dishwasher.urdf",
+           voxel_size=0.02, cam_dist=4.0),
+        _R("trashcan", 10, 1, "Robot/Sapien/trashcan/trashcan.urdf", voxel_size=0.02,
+           cam_dist=4.0),
+        _R("faucet", 50, 1, "Robot/Sapien/faucet/faucet.urdf", voxel_size=0.02,
+           cam_dist=2.5),
+        _R("storage", 40, 2, "Robot/Sapien/storage/storage.urdf", voxel_size=0.01,
+           cam_dist=3.0),
+        _R("toilet", 40, 1, "Robot/Sapien/toilet/toilet.urdf", voxel_size=0.02,
+           cam_dist=4.0),
+        # real-scan configs (flat data/raw/{robot}/ layout, ragged frames)
+        _R("wx200_real_4", 20, 4, "Robot/interbotix_descriptions/urdf/wx200_real.urdf",
+           cam_dist=1.2, ori=(1.57, 0.0, 0.0)),
+        _R("wx200_real_5", 20, 5, "Robot/interbotix_descriptions/urdf/wx200_real.urdf",
+           cam_dist=1.2, ori=(1.57, 0.0, 0.0)),
     ]
 }
 

@@ -45,6 +45,30 @@ class JointComparison:
     dir_errors: list[float]
     direction_map: list[int]   # +1 / -1 per joint (axis flipped vs gt)
     joint_map: np.ndarray      # pred joint index used for each gt joint
+    # coverage accounting: under-discovery must not silently flatter the
+    # matched-subset means, so unmatched gt joints carry a defined penalty
+    # (90 deg direction, robot-scale position) in the *complete* aggregates.
+    matched: int = 0
+    total: int = 0
+    pos_errors_complete: list[float] | None = None
+    dir_errors_complete: list[float] | None = None
+
+    @property
+    def dir_mean_matched(self) -> float:
+        return float(np.mean(self.dir_errors)) if self.dir_errors else 90.0
+
+    @property
+    def pos_mean_matched(self) -> float:
+        return float(np.mean(self.pos_errors)) if self.pos_errors else float("nan")
+
+    @property
+    def dir_mean_complete(self) -> float:
+        return float(np.mean(self.dir_errors_complete)) if self.dir_errors_complete else 90.0
+
+    @property
+    def pos_mean_complete(self) -> float:
+        return (float(np.mean(self.pos_errors_complete))
+                if self.pos_errors_complete else float("nan"))
 
 
 def _world_axes(urdf_path, base_orientation, q, dof, global_scale, asset_root):
@@ -107,10 +131,22 @@ def compare_joints(
     else:
         joint_map = np.asarray(joint_map, dtype=int)
 
+    # penalty scale for unmatched gt joints: the span of the gt joint
+    # positions (a robot-scale length), floored to avoid a zero penalty on
+    # single-joint robots.
+    gt_pos = np.array([g.position for g in gt_frames[:n]]) if n else np.zeros((0, 3))
+    pos_penalty = 0.1
+    if len(gt_pos) >= 2:
+        span = float(np.linalg.norm(gt_pos.max(0) - gt_pos.min(0)))
+        pos_penalty = max(span, 0.1)
+
     pos_errors, dir_errors, dir_map = [], [], []
+    pos_complete, dir_complete = [], []
     for gi in range(n):
         if joint_map[gi] < 0 or joint_map[gi] >= len(pred_all):
             dir_map.append(1)
+            pos_complete.append(pos_penalty)
+            dir_complete.append(90.0)
             continue
         p = pred_all[joint_map[gi]]
         g = gt_frames[gi]
@@ -122,4 +158,10 @@ def compare_joints(
             dir_map.append(1)
         pos_errors.append(pe)
         dir_errors.append(de)
-    return JointComparison(pos_errors, dir_errors, dir_map, joint_map)
+        pos_complete.append(pe)
+        dir_complete.append(de)
+    return JointComparison(
+        pos_errors, dir_errors, dir_map, joint_map,
+        matched=len(pos_errors), total=n,
+        pos_errors_complete=pos_complete, dir_errors_complete=dir_complete,
+    )

@@ -299,9 +299,16 @@ def run_evaluation(
         os.path.join(eval_dir, "dir_mean_std.txt"),
         (np.mean(cmp.dir_errors), np.std(cmp.dir_errors)),
     )
+    with open(os.path.join(eval_dir, "coverage.txt"), "w") as f:
+        f.write(f"matched {cmp.matched} / {cmp.total}\n")
+        f.write(f"dir_mean_matched {cmp.dir_mean_matched:.4f}\n")
+        f.write(f"dir_mean_complete {cmp.dir_mean_complete:.4f}\n")
+        f.write(f"pos_mean_complete {cmp.pos_mean_complete:.6f}\n")
     if verbose:
         print(f"[eval] joint pos err {np.mean(cmp.pos_errors):.4f} m, "
-              f"dir err {np.mean(cmp.dir_errors):.2f} deg")
+              f"dir err {np.mean(cmp.dir_errors):.2f} deg "
+              f"(matched {cmp.matched}/{cmp.total}, "
+              f"complete {cmp.dir_mean_complete:.2f} deg)")
 
     losses, mean, std = resim_chamfer(
         pred_urdf_path=cfg.urdf_path(),
@@ -327,6 +334,11 @@ def run_evaluation(
         "dir_errors": cmp.dir_errors,
         "pos_mean": float(np.mean(cmp.pos_errors)),
         "dir_mean": float(np.mean(cmp.dir_errors)),
+        "matched": cmp.matched,
+        "total": cmp.total,
+        "dir_mean_matched": cmp.dir_mean_matched,
+        "dir_mean_complete": cmp.dir_mean_complete,
+        "pos_mean_complete": cmp.pos_mean_complete,
         "chamfer_losses": losses.tolist(),
         "chamfer_mean": mean,
         "chamfer_std": std,

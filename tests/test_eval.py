@@ -94,3 +94,85 @@ class TestCompareJoints:
         assert (cmp.joint_map == -1).sum() == 1  # one gt joint unmatched
         assert len(cmp.pos_errors) == 1          # errors only over matched
         assert cmp.pos_errors[0] < 1e-9
+
+    def test_coverage_and_penalized_aggregate(self, tmp_path, urdf):
+        """Under-discovery must be visible: matched/total + penalized means."""
+        one_joint = """<?xml version="1.0"?>
+<robot name="p">
+  <link name="base"/><link name="arm"/>
+  <joint name="only" type="revolute">
+    <parent link="base"/><child link="arm"/>
+    <origin xyz="0 0 0.2"/><axis xyz="0 0 1"/>
+    <limit lower="-1" upper="1" effort="1" velocity="1"/>
+  </joint>
+</robot>
+"""
+        p = tmp_path / "one.urdf"
+        p.write_text(one_joint)
+        cmp = compare_joints(str(p), urdf, dof=2, offset=np.zeros(2))
+        assert cmp.matched == 1 and cmp.total == 2
+        assert len(cmp.dir_errors_complete) == 2
+        # the unmatched joint carries the defined 90-deg / robot-scale penalty
+        assert cmp.dir_mean_complete == pytest.approx((cmp.dir_errors[0] + 90.0) / 2)
+        assert cmp.dir_mean_complete > cmp.dir_mean_matched
+        assert cmp.pos_errors_complete[1] >= 0.1
+
+    def test_full_match_complete_equals_matched(self, urdf):
+        cmp = compare_joints(urdf, urdf, dof=2, offset=np.zeros(2))
+        assert cmp.matched == cmp.total == 2
+        assert cmp.dir_mean_complete == pytest.approx(cmp.dir_mean_matched)
+        assert cmp.pos_mean_complete == pytest.approx(cmp.pos_mean_matched)
+
+
+REF_JOINT_MAP_DIR = "/root/reference/Sim/joint_map"
+
+
+class TestReferenceJointMapProtocol:
+    """The reference's hand-authored Sim/joint_map/*.txt permutations are
+    its published evaluation protocol (/root/reference/Sim/evaluation.py:409-416):
+    row i holds the predicted-joint index paired with gt joint i.  Run the
+    actual fixture files through the file-based path."""
+
+    import os as _os
+
+    needs_ref = pytest.mark.skipif(
+        not _os.path.isdir(REF_JOINT_MAP_DIR), reason="reference checkout absent"
+    )
+
+    @needs_ref
+    def test_wx200_5_identity_map_on_gt(self):
+        import os
+
+        from autourdf_tpu.config import get_robot
+
+        gt = get_robot("wx200_5").gt_path()
+        jm = np.loadtxt(os.path.join(REF_JOINT_MAP_DIR, "wx200_5.txt"), dtype=int)
+        assert list(jm) == [0, 1, 2, 3, 4]  # the published wx200 map is identity
+        cmp = compare_joints(gt, gt, dof=5, offset=np.zeros(5), joint_map=jm)
+        assert cmp.matched == cmp.total == 5
+        assert max(cmp.dir_errors) < 1e-6
+        assert max(cmp.pos_errors) < 1e-9
+
+    @needs_ref
+    def test_pxs_permutation_map_on_gt(self):
+        """pxs.txt is a true permutation of 18 joints; the file-based path
+        must consume every row, index pred joints by value, and keep the
+        permuted (wrong-on-purpose vs identity) pairings in the error
+        lists rather than dropping them."""
+        import os
+
+        from autourdf_tpu.config import get_robot
+
+        gt = get_robot("pxs").gt_path()
+        jm = np.loadtxt(os.path.join(REF_JOINT_MAP_DIR, "pxs.txt"), dtype=int)
+        assert sorted(jm.tolist()) == list(range(18))
+        cmp = compare_joints(gt, gt, dof=18, offset=np.zeros(18), joint_map=jm)
+        assert cmp.matched == cmp.total == 18
+        assert np.all(np.isfinite(cmp.dir_errors))
+        assert np.asarray(cmp.joint_map).tolist() == jm.tolist()
+        # identity pairing on the same URDF is exact; the permuted pairing
+        # pairs different legs, so the errors must be nonzero overall
+        ident = compare_joints(gt, gt, dof=18, offset=np.zeros(18),
+                               joint_map=np.arange(18))
+        assert max(ident.dir_errors) < 1e-6
+        assert float(np.mean(cmp.pos_errors)) > float(np.mean(ident.pos_errors))

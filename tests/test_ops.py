@@ -12,6 +12,7 @@ from autourdf_tpu.ops import (
     lloyd,
     nn_search,
 )
+from autourdf_tpu.ops.knn import PAD_COORD, _bidir_vmem_ok, nn_search_bidirectional
 
 
 def brute_nn(x, y, norm):
@@ -45,6 +46,128 @@ class TestNN:
         d_ref, i_ref = brute_nn(x, y, 1)
         np.testing.assert_allclose(np.asarray(d), d_ref, rtol=1e-5, atol=1e-6)
         np.testing.assert_array_equal(np.asarray(i), i_ref)
+
+
+class TestBidirectionalNN:
+    """Parity coverage for the fused production kernel
+    (ops/knn.py::_nn_bidir_pallas) including the per-tile column-minima
+    fold — the path the TPU chamfer actually dispatches."""
+
+    @pytest.mark.parametrize("norm", [1, 2])
+    def test_matches_two_unidirectional(self, rng, norm):
+        x = rng.normal(size=(300, 3)).astype(np.float32)
+        y = rng.normal(size=(420, 3)).astype(np.float32)
+        dx, ix, dy, iy = nn_search_bidirectional(
+            jnp.asarray(x), jnp.asarray(y), norm=norm, backend="pallas_interpret"
+        )
+        dx_r, ix_r = brute_nn(x, y, norm)
+        dy_r, iy_r = brute_nn(y, x, norm)
+        np.testing.assert_allclose(np.asarray(dx), dx_r, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dy), dy_r, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(ix), ix_r)
+        np.testing.assert_array_equal(np.asarray(iy), iy_r)
+
+    def test_nonmultiple_sizes_multi_tile(self, rng):
+        # > 1 x-tile (tx<=256) with non-multiple sizes: exercises both the
+        # x padding and the cross-tile column-minima fold at knn.py:202-205
+        x = rng.normal(size=(517, 3)).astype(np.float32)
+        y = rng.normal(size=(333, 3)).astype(np.float32)
+        dx, ix, dy, iy = nn_search_bidirectional(
+            jnp.asarray(x), jnp.asarray(y), norm=1, backend="pallas_interpret"
+        )
+        dx_r, ix_r = brute_nn(x, y, 1)
+        dy_r, iy_r = brute_nn(y, x, 1)
+        np.testing.assert_allclose(np.asarray(dx), dx_r, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dy), dy_r, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(ix), ix_r)
+        np.testing.assert_array_equal(np.asarray(iy), iy_r)
+
+    def test_column_fold_picks_global_minimum_across_tiles(self, rng):
+        # construct y points whose nearest x lives in a *late* tile so a
+        # broken fold (e.g. first-tile bias) fails loudly
+        x = rng.normal(size=(512, 3)).astype(np.float32) + 10.0
+        x[500] = (0.0, 0.0, 0.0)  # the only x near the origin, in tile 2
+        y = rng.normal(scale=0.01, size=(64, 3)).astype(np.float32)
+        dx, ix, dy, iy = nn_search_bidirectional(
+            jnp.asarray(x), jnp.asarray(y), norm=1, backend="pallas_interpret"
+        )
+        assert np.all(np.asarray(iy) == 500)
+
+    def test_padded_sentinel_inputs(self, rng):
+        # sentinel-padded x and y rows must never be selected in either
+        # direction for the *real* rows
+        x = np.concatenate([rng.normal(size=(90, 3)), np.full((38, 3), PAD_COORD)])
+        y = np.concatenate([rng.normal(size=(70, 3)), np.full((58, 3), PAD_COORD)])
+        x, y = x.astype(np.float32), y.astype(np.float32)
+        dx, ix, dy, iy = nn_search_bidirectional(
+            jnp.asarray(x), jnp.asarray(y), norm=1, backend="pallas_interpret"
+        )
+        assert np.all(np.asarray(ix[:90]) < 70)
+        assert np.all(np.asarray(iy[:70]) < 90)
+        dx_r, ix_r = brute_nn(x[:90], y[:70], 1)
+        np.testing.assert_allclose(np.asarray(dx[:90]), dx_r, rtol=1e-5, atol=1e-6)
+
+    def test_vmem_budget_predicate(self):
+        # the default workload fits the fused kernel; very large clouds do not
+        assert _bidir_vmem_ok(300, 400, 256)
+        assert _bidir_vmem_ok(5000, 5000, 64)
+        n_big = 100_000
+        assert not any(_bidir_vmem_ok(n_big, n_big, t) for t in (256, 128, 64))
+
+    def test_two_pass_fallback_dispatch(self, rng, monkeypatch):
+        # force the budget check to fail so the two-pass fallback branch of
+        # nn_search_bidirectional runs, and stays exact
+        import autourdf_tpu.ops.knn as knn_mod
+
+        monkeypatch.setattr(knn_mod, "_bidir_vmem_ok", lambda n, m, t: False)
+        x = rng.normal(size=(200, 3)).astype(np.float32)
+        y = rng.normal(size=(150, 3)).astype(np.float32)
+        dx, ix, dy, iy = knn_mod.nn_search_bidirectional(
+            jnp.asarray(x), jnp.asarray(y), norm=1, backend="pallas_interpret"
+        )
+        dx_r, ix_r = brute_nn(x, y, 1)
+        dy_r, iy_r = brute_nn(y, x, 1)
+        np.testing.assert_array_equal(np.asarray(ix), ix_r)
+        np.testing.assert_array_equal(np.asarray(iy), iy_r)
+        np.testing.assert_allclose(np.asarray(dx), dx_r, rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("norm", [1, 2])
+    def test_chamfer_through_fused_kernel(self, rng, norm):
+        x = rng.normal(size=(260, 3)).astype(np.float32)
+        y = rng.normal(size=(317, 3)).astype(np.float32)
+        loss = chamfer_distance(
+            jnp.asarray(x), jnp.asarray(y), norm=norm, backend="pallas_interpret"
+        )
+        np.testing.assert_allclose(float(loss), brute_chamfer(x, y, norm), rtol=1e-5)
+
+    def test_chamfer_masked_through_fused_kernel(self, rng):
+        x = rng.normal(size=(100, 3)).astype(np.float32)
+        y = rng.normal(size=(90, 3)).astype(np.float32)
+        ref = brute_chamfer(x, y, 1)
+        xp = np.concatenate([x, np.full((28, 3), 7.7, np.float32)])
+        yp = np.concatenate([y, np.full((38, 3), -9.9, np.float32)])
+        xm = np.arange(128) < 100
+        ym = np.arange(128) < 90
+        loss = chamfer_distance(
+            jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(xm), jnp.asarray(ym),
+            backend="pallas_interpret",
+        )
+        np.testing.assert_allclose(float(loss), ref, rtol=1e-5)
+
+    def test_chamfer_grad_through_fused_kernel(self, rng):
+        x = rng.normal(size=(40, 3)).astype(np.float32)
+        y = rng.normal(size=(50, 3)).astype(np.float32)
+
+        def f(x):
+            return chamfer_distance(x, jnp.asarray(y), backend="pallas_interpret")
+
+        g = np.asarray(jax.grad(f)(jnp.asarray(x)))
+        eps = 1e-3
+        for (i, d) in [(0, 0), (7, 1), (21, 2), (39, 0)]:
+            xp = x.copy(); xp[i, d] += eps
+            xm = x.copy(); xm[i, d] -= eps
+            fd = (float(f(jnp.asarray(xp))) - float(f(jnp.asarray(xm)))) / (2 * eps)
+            np.testing.assert_allclose(g[i, d], fd, atol=2e-3)
 
 
 class TestChamfer:
