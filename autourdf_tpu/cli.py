@@ -75,6 +75,9 @@ def main(argv=None) -> int:
                    help="refine each cluster with masked ICP instead of the anchor MLP")
     p.add_argument("--normal", action="store_true",
                    help="augment clustering features with point normals")
+    p.add_argument("--corr-every", type=int, default=1,
+                   help="refresh NN correspondences every k epochs (1 = exact "
+                        "reference semantics; 4-10 = amortized ICP-style, faster)")
 
     p = sub.add_parser("urdf", help="structure discovery -> URDF")
     _add_common(p)
@@ -84,7 +87,10 @@ def main(argv=None) -> int:
     p.add_argument("--end-steps", dest="end_steps", type=int, default=10)
     p.add_argument("--end-video", "--end_video", dest="end_video", type=int, default=1)
     p.add_argument("--dist-mode", type=str, default="pose",
-                   choices=["pose", "diff", "legacy"])
+                   choices=["pose", "diff", "legacy", "rigid"],
+                   help="pose/diff/legacy = reference maps; rigid = relative-"
+                        "pose deviation (ours, decouples articulation from "
+                        "spatial proximity)")
     p.add_argument("--dof-method", type=str, default="auto",
                    choices=["auto", "gap", "silhouette"],
                    help="auto = gap when decisive else silhouette; silhouette = reference parity")
@@ -136,7 +142,8 @@ def main(argv=None) -> int:
     elif args.cmd == "register":
         stats = workflow.run_registration(cfg, chamfer_backend=args.backend,
                                           mlp_icp=args.mlp_icp,
-                                          use_normals=args.normal)
+                                          use_normals=args.normal,
+                                          corr_every=args.corr_every)
         print(json.dumps(stats))
     elif args.cmd == "urdf":
         cfg = cfg.replace(start_steps=args.start_steps, end_steps=args.end_steps)

@@ -140,6 +140,7 @@ def refine_chain(
     lr: float = 2e-2,
     points_per_link: int = 768,
     dispatch_steps: int = 50,
+    frame_masks: np.ndarray | None = None,  # (S, T, N) for ragged frames
     verbose: bool = False,
 ) -> tuple[list[JointEstimate], ChainResult]:
     """Jointly refine every joint against the raw frames of all sequences.
@@ -217,7 +218,8 @@ def refine_chain(
     carry = (params, zeros, zeros, jnp.zeros((), jnp.int32))
 
     frames_j = jnp.asarray(frames, jnp.float32)
-    fmasks = jnp.ones(frames.shape[:3], bool)
+    fmasks = (jnp.asarray(frame_masks) if frame_masks is not None
+              else jnp.ones(frames.shape[:3], bool))
     f0 = jnp.asarray(frames0_np)
     lp = jnp.asarray(link_pts)
     lm = jnp.asarray(link_masks)

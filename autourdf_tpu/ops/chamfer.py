@@ -47,6 +47,29 @@ def _apply_mask(pts: jax.Array, mask: jax.Array | None) -> jax.Array:
     return jnp.where(mask[:, None], pts, PAD_COORD)
 
 
+# Auto-shard threshold: with an active multi-chip mesh that has an "sp"
+# axis, target clouds at least this large dispatch to the sharded path
+# (parallel.sharding.sharded_chamfer) instead of one chip's kernel.
+AUTO_SHARD_MIN_M = 32768
+
+
+def _active_sp_mesh():
+    """The ambient ``with mesh:`` physical mesh, if it has a >1 "sp" axis."""
+    try:
+        try:  # jax >= 0.8.2 home of the thread-local mesh env
+            from jax._src.mesh import thread_resources
+        except ImportError:  # pragma: no cover - older jax
+            from jax.interpreters.pxla import thread_resources
+
+        mesh = thread_resources.env.physical_mesh
+        if mesh is not None and not mesh.empty and "sp" in mesh.axis_names:
+            if int(mesh.shape["sp"]) > 1:
+                return mesh
+    except Exception:  # pragma: no cover - jax-version-dependent internals
+        return None
+    return None
+
+
 def chamfer_distance(
     x: jax.Array,
     y: jax.Array,
@@ -58,7 +81,20 @@ def chamfer_distance(
     """Symmetric Chamfer loss between ``x (N, 3)`` and ``y (M, 3)``.
 
     Batched use: ``jax.vmap(chamfer_distance)`` (masks included).
+
+    Inside a ``with mesh:`` scope whose mesh has an "sp" axis, large
+    target clouds (M >= AUTO_SHARD_MIN_M) automatically shard across the
+    mesh; the per-chip compute still runs the fused Pallas kernel.
     """
+    if y.shape[0] >= AUTO_SHARD_MIN_M:
+        mesh = _active_sp_mesh()
+        if mesh is not None:
+            from ..parallel.sharding import sharded_chamfer
+
+            return sharded_chamfer(
+                mesh, x, y, x_mask, y_mask, norm=norm, backend=backend
+            )
+
     xs = _apply_mask(x, x_mask)
     ys = _apply_mask(y, y_mask)
 
@@ -66,6 +102,47 @@ def chamfer_distance(
         jax.lax.stop_gradient(xs), jax.lax.stop_gradient(ys), norm, backend
     )
 
+    d_xy = _pointwise(x - y[ix], norm)
+    d_yx = _pointwise(y - x[iy], norm)
+    return _masked_mean(d_xy, x_mask) + _masked_mean(d_yx, y_mask)
+
+
+def chamfer_correspondences(
+    x: jax.Array,
+    y: jax.Array,
+    x_mask: jax.Array | None = None,
+    y_mask: jax.Array | None = None,
+    norm: Norm = 1,
+    backend: str = "auto",
+) -> tuple[jax.Array, jax.Array]:
+    """Nearest-neighbor index pair ``(ix, iy)`` for the symmetric Chamfer.
+
+    One fused kernel pass; non-differentiable by construction.  Feed the
+    result to :func:`chamfer_from_indices` — refreshing correspondences
+    every k optimizer epochs instead of every epoch amortizes the search
+    (ICP-style), while the gathered loss stays an exact upper bound of the
+    true Chamfer that touches it at the refresh epochs.
+    """
+    xs = jax.lax.stop_gradient(_apply_mask(x, x_mask))
+    ys = jax.lax.stop_gradient(_apply_mask(y, y_mask))
+    _, ix, _, iy = nn_search_bidirectional(xs, ys, norm, backend)
+    return ix, iy
+
+
+def chamfer_from_indices(
+    x: jax.Array,
+    y: jax.Array,
+    ix: jax.Array,
+    iy: jax.Array,
+    x_mask: jax.Array | None = None,
+    y_mask: jax.Array | None = None,
+    norm: Norm = 1,
+) -> jax.Array:
+    """Differentiable Chamfer value for fixed correspondences.
+
+    With fresh ``(ix, iy)`` this equals :func:`chamfer_distance` exactly;
+    with stale indices it upper-bounds it (projected/ICP-style objective).
+    """
     d_xy = _pointwise(x - y[ix], norm)
     d_yx = _pointwise(y - x[iy], norm)
     return _masked_mean(d_xy, x_mask) + _masked_mean(d_yx, y_mask)

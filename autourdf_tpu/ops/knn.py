@@ -73,14 +73,21 @@ def _nn_kernel(x_ref, yt_ref, dist_ref, idx_ref, *, norm: int):
     idx_ref[:] = jnp.argmin(acc, axis=1).astype(jnp.int32)[:, None]
 
 
+# Scoped VMEM limit for a pallas_call on this generation is 16 MiB
+# (measured: a 22.1 MiB kernel stack is rejected at compile time on v5e);
+# budget 12 MiB for the distance block + column outputs, leaving headroom
+# for the compiler's own temporaries.
+VMEM_BUDGET = 12 * 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("norm", "tx", "ty", "interpret"))
 def _nn_pallas(x: jax.Array, y: jax.Array, norm: int, tx: int, ty: int, interpret: bool):
     yp = pad_points(y, ty)
     mp = yp.shape[0]
-    # Keep the (TX, M) distance block within a comfortable VMEM budget.
-    while tx > 8 and tx * mp * 4 > 6 * 1024 * 1024:
+    # Keep the (TX, M) distance block within the VMEM budget.
+    while tx > 8 and tx * mp * 4 > VMEM_BUDGET:
         tx //= 2
-    if tx * mp * 4 > 6 * 1024 * 1024:  # reference cloud too large for VMEM
+    if tx * mp * 4 > VMEM_BUDGET:  # reference cloud too large for VMEM
         return _nn_xla(x, y, norm)
     n = x.shape[0]
     xp = pad_points(x, tx)
@@ -164,7 +171,7 @@ def _bidir_vmem_ok(n: int, m: int, tx: int) -> bool:
     num_tiles = np_ // tx
     acc_bytes = tx * mp * 4
     col_bytes = 2 * num_tiles * mp * 4
-    return acc_bytes + col_bytes <= 6 * 1024 * 1024
+    return acc_bytes + col_bytes <= VMEM_BUDGET
 
 
 @functools.partial(jax.jit, static_argnames=("norm", "tx", "interpret"))
@@ -223,7 +230,7 @@ def nn_search_bidirectional(
         # otherwise two one-directional searches (which have their own
         # graceful degradation to the chunked XLA path)
         tx = next(
-            (t for t in (256, 128, 64) if _bidir_vmem_ok(x.shape[0], y.shape[0], t)),
+            (t for t in (512, 256, 128, 64) if _bidir_vmem_ok(x.shape[0], y.shape[0], t)),
             None,
         )
         if tx is not None:

@@ -81,39 +81,72 @@ def sharded_chamfer(
     mesh: Mesh,
     x: jax.Array,  # (N, 3) prediction, replicated
     y: jax.Array,  # (M, 3) target, sharded along points
+    x_mask: jax.Array | None = None,
+    y_mask: jax.Array | None = None,
     axis_name: str = "sp",
     norm: int = 1,
+    backend: str = "auto",
 ) -> jax.Array:
-    """Chamfer-L1 with the target cloud sharded across chips.
+    """Differentiable Chamfer with the target cloud sharded across chips.
 
-    x -> y direction: each chip computes x's min distance against its y
-    shard; ``pmin`` over the mesh gives the global minima.  y -> x: each
-    chip handles its own y shard against replicated x; directional means
-    combine with ``psum``.
+    Each chip runs the same fused bidirectional Pallas NN kernel as the
+    single-chip path (ops/knn.py) over its y shard.  x -> y: per-chip
+    minima combine with ``pmin``; the differentiable term is rebuilt from
+    the winning chip's gathered neighbor (ties broken by lowest chip
+    index so each query contributes exactly once).  y -> x: per-shard
+    sums combine with ``psum``.  Gradients flow to both x and y, matching
+    ``ops.chamfer.chamfer_distance`` exactly.
     """
-    m_total = y.shape[0]
+    from ..ops.chamfer import _apply_mask, _pointwise
+    from ..ops.knn import PAD_COORD, nn_search_bidirectional
+
+    n_shards = int(mesh.shape[axis_name])
+    n, m = x.shape[0], y.shape[0]
+
+    xs = _apply_mask(x, x_mask)
+    ys = _apply_mask(y, y_mask)
+    xw = (x_mask.astype(jnp.float32) if x_mask is not None
+          else jnp.ones((n,), jnp.float32))
+
+    # pad y to a shard multiple with the far sentinel; padded rows carry
+    # zero weight in the y -> x mean
+    m_pad = ((m + n_shards - 1) // n_shards) * n_shards
+    if m_pad != m:
+        ys = jnp.pad(ys, ((0, m_pad - m), (0, 0)), constant_values=PAD_COORD)
+    yw = jnp.arange(m_pad) < m
+    if y_mask is not None:
+        yw = yw & jnp.pad(y_mask, (0, m_pad - m), constant_values=False)
+    yw = yw.astype(jnp.float32)
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(axis_name)),
+        in_specs=(P(), P(axis_name), P(), P(axis_name)),
         out_specs=P(),
     )
-    def _cham(x_full, y_shard):
-        # x -> y: local min then cross-chip min
-        diff = x_full[:, None, :] - y_shard[None, :, :]
-        d = (
-            jnp.sum(jnp.abs(diff), axis=-1)
-            if norm == 1
-            else jnp.sum(diff * diff, axis=-1)
+    def _cham(x_full, y_shard, x_weight, y_weight):
+        dx_l, ix_l, _, iy_l = nn_search_bidirectional(
+            jax.lax.stop_gradient(x_full),
+            jax.lax.stop_gradient(y_shard),
+            norm,
+            backend,
         )
-        local_min_xy = jnp.min(d, axis=1)           # (N,)
-        global_min_xy = jax.lax.pmin(local_min_xy, axis_name)
-        term_xy = jnp.mean(global_min_xy)
+        # x -> y: winner-chip selection on the stop-gradient minima, then a
+        # differentiable rebuild from the winner's gathered neighbor
+        d_local = jax.lax.stop_gradient(dx_l)
+        d_global = jax.lax.pmin(d_local, axis_name)
+        chip = jax.lax.axis_index(axis_name).astype(jnp.float32)
+        cand = jnp.where(d_local <= d_global, chip, jnp.float32(n_shards))
+        winner = jax.lax.pmin(cand, axis_name)
+        mine = (cand == winner).astype(jnp.float32)
+        d_xy = _pointwise(x_full - y_shard[ix_l], norm)
+        sum_xy = jax.lax.psum(jnp.sum(d_xy * mine * x_weight), axis_name)
+        term_xy = sum_xy / jnp.maximum(jnp.sum(x_weight), 1.0)
 
-        # y -> x: each shard's own minima; sum then normalize by M
-        local_min_yx = jnp.min(d, axis=0)           # (M_shard,)
-        term_yx = jax.lax.psum(jnp.sum(local_min_yx), axis_name) / m_total
-        return term_xy + term_yx
+        # y -> x: each shard against the replicated x
+        d_yx = _pointwise(y_shard - x_full[iy_l], norm)
+        sum_yx = jax.lax.psum(jnp.sum(d_yx * y_weight), axis_name)
+        cnt_yx = jax.lax.psum(jnp.sum(y_weight), axis_name)
+        return term_xy + sum_yx / jnp.maximum(cnt_yx, 1.0)
 
-    return _cham(x, y)
+    return _cham(xs, ys, xw, yw)

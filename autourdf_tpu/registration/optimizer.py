@@ -37,7 +37,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.chamfer import chamfer_distance
+from ..ops.chamfer import (
+    chamfer_correspondences,
+    chamfer_distance,
+    chamfer_from_indices,
+)
 
 _einsum = functools.partial(jnp.einsum, precision="highest")
 
@@ -158,52 +162,96 @@ def train_epochs(
     scheduler_patience: int = 5,
     scheduler_factor: float = 0.7,
     chamfer_backend: str = "auto",
+    corr_every: int = 1,
 ) -> tuple[TrainCarry, jax.Array]:
-    """Advance the optimization by ``num_epochs``; returns (carry, losses)."""
+    """Advance the optimization by ``num_epochs``; returns (carry, losses).
 
-    def loss_fn(p):
+    ``corr_every > 1`` amortizes the nearest-neighbor search ICP-style:
+    correspondences refresh once per round of ``corr_every`` epochs and the
+    intermediate epochs optimize the gathered (projected) Chamfer — an
+    exact upper bound that touches the true loss at each refresh.  The
+    structure is a nested scan, not ``lax.cond``, so it stays efficient
+    under the sequence-axis ``vmap`` (cond lowers to select there and
+    would run the search every epoch anyway).
+    """
+
+    def make_epoch_step(grad_fn):
+        def epoch_step(c: TrainCarry, _):
+            (loss, m2), grads = grad_fn(c.params)
+
+            improved = loss < c.best_loss
+            best_loss = jnp.where(improved, loss, c.best_loss)
+            best_m = jnp.where(improved, m2, c.best_m)
+            bad_count = jnp.where(improved, 0, c.bad_count + 1)
+            stop_now = bad_count > stop_patience
+
+            # torch ordering: optimizer.step() runs with the current lr, then
+            # scheduler.step(loss) — a plateau reduction takes effect NEXT epoch
+            new_params, opt = adam_update(grads, c.opt, c.params, c.sched.lr)
+            sched = plateau_update(c.sched, loss, scheduler_factor, scheduler_patience)
+
+            # Early-stop freeze: past the stop point, carry passes through
+            # unchanged (matches the reference's loop break).
+            frozen = c.stopped
+
+            def keep_old(new, old):
+                return jax.tree.map(lambda n, o: jnp.where(frozen, o, n), new, old)
+
+            out = TrainCarry(
+                params=keep_old(new_params, c.params),
+                opt=keep_old(opt, c.opt),
+                sched=keep_old(sched, c.sched),
+                best_loss=jnp.where(frozen, c.best_loss, best_loss),
+                best_m=jnp.where(frozen, c.best_m, best_m),
+                bad_count=jnp.where(frozen, c.bad_count, bad_count),
+                stopped=jnp.logical_or(frozen, stop_now),
+            )
+            return out, jnp.where(frozen, jnp.inf, loss)
+
+        return epoch_step
+
+    def predict(p):
         m2 = model.apply(p, matrices)
-        pred = transform_by_labels(m2, points, labels)
-        loss = chamfer_distance(
-            pred, target, points_mask, target_mask, norm=1, backend=chamfer_backend
+        return m2, transform_by_labels(m2, points, labels)
+
+    if corr_every <= 1:
+        def loss_fn(p):
+            m2, pred = predict(p)
+            loss = chamfer_distance(
+                pred, target, points_mask, target_mask, norm=1,
+                backend=chamfer_backend,
+            )
+            return loss, m2
+
+        epoch_step = make_epoch_step(jax.value_and_grad(loss_fn, has_aux=True))
+        return jax.lax.scan(epoch_step, carry, None, length=num_epochs)
+
+    if num_epochs % corr_every != 0:
+        raise ValueError(
+            f"num_epochs={num_epochs} must be a multiple of corr_every={corr_every}"
         )
-        return loss, m2
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-
-    def epoch_step(c: TrainCarry, _):
-        (loss, m2), grads = grad_fn(c.params)
-
-        improved = loss < c.best_loss
-        best_loss = jnp.where(improved, loss, c.best_loss)
-        best_m = jnp.where(improved, m2, c.best_m)
-        bad_count = jnp.where(improved, 0, c.bad_count + 1)
-        stop_now = bad_count > stop_patience
-
-        # torch ordering: optimizer.step() runs with the current lr, then
-        # scheduler.step(loss) — a plateau reduction takes effect NEXT epoch
-        new_params, opt = adam_update(grads, c.opt, c.params, c.sched.lr)
-        sched = plateau_update(c.sched, loss, scheduler_factor, scheduler_patience)
-
-        # Early-stop freeze: past the stop point, carry passes through
-        # unchanged (matches the reference's loop break).
-        frozen = c.stopped
-
-        def keep_old(new, old):
-            return jax.tree.map(lambda n, o: jnp.where(frozen, o, n), new, old)
-
-        out = TrainCarry(
-            params=keep_old(new_params, c.params),
-            opt=keep_old(opt, c.opt),
-            sched=keep_old(sched, c.sched),
-            best_loss=jnp.where(frozen, c.best_loss, best_loss),
-            best_m=jnp.where(frozen, c.best_m, best_m),
-            bad_count=jnp.where(frozen, c.bad_count, bad_count),
-            stopped=jnp.logical_or(frozen, stop_now),
+    def round_step(c: TrainCarry, _):
+        _, pred0 = predict(c.params)
+        ix, iy = chamfer_correspondences(
+            pred0, target, points_mask, target_mask, norm=1,
+            backend=chamfer_backend,
         )
-        return out, jnp.where(frozen, jnp.inf, loss)
 
-    return jax.lax.scan(epoch_step, carry, None, length=num_epochs)
+        def loss_fn(p):
+            m2, pred = predict(p)
+            loss = chamfer_from_indices(
+                pred, target, ix, iy, points_mask, target_mask, norm=1
+            )
+            return loss, m2
+
+        epoch_step = make_epoch_step(jax.value_and_grad(loss_fn, has_aux=True))
+        return jax.lax.scan(epoch_step, c, None, length=corr_every)
+
+    carry, losses = jax.lax.scan(
+        round_step, carry, None, length=num_epochs // corr_every
+    )
+    return carry, losses.reshape(-1)
 
 
 def train_finalize(carry: TrainCarry, losses: jax.Array) -> TrainResult:
@@ -225,6 +273,7 @@ def train_pose_mlp(
     scheduler_patience: int = 5,
     scheduler_factor: float = 0.7,
     chamfer_backend: str = "auto",
+    corr_every: int = 1,
 ) -> TrainResult:
     """Optimize the pose MLP against one target frame; fully jittable.
 
@@ -238,6 +287,6 @@ def train_pose_mlp(
     carry, losses = train_epochs(
         model, carry, matrices, target, points, labels, epochs,
         target_mask, points_mask, stop_patience,
-        scheduler_patience, scheduler_factor, chamfer_backend,
+        scheduler_patience, scheduler_factor, chamfer_backend, corr_every,
     )
     return train_finalize(carry, losses)

@@ -48,6 +48,8 @@ class RegistrationConfig(NamedTuple):
     icp_box_scale: float = 1.2
     dispatch_epochs: int = 100     # max epochs per device dispatch (batched driver)
     use_normals: bool = False      # 6-D k-means features (xyz + 0.5*normals)
+    corr_every: int = 1            # NN-search refresh period (1 = every epoch,
+                                   # reference-exact; >1 = amortized ICP-style)
 
 
 class SequenceResult(NamedTuple):
@@ -58,20 +60,35 @@ class SequenceResult(NamedTuple):
     step_losses: jax.Array   # (T-1,) best step-phase Chamfer per frame pair
 
 
-def _frame_step(model: PoseRegressor, cfg: RegistrationConfig, anchor_points, anchor_labels):
-    """Build the per-frame-pair body for lax.scan."""
+def _frame_step(model: PoseRegressor, cfg: RegistrationConfig, anchor_points,
+                anchor_labels, anchor_mask=None):
+    """Build the per-frame-pair body for lax.scan.
 
-    def body(carry, target):
-        step_params, anchor_params, matrices, points, labels = carry
+    With ``anchor_mask`` given, the scan xs are (target, target_mask) pairs
+    and the carry holds the current frame's validity mask — the ragged
+    real-scan path (reference mlp_reg.py:424-426 loads variable-length
+    frames; here they are sentinel-padded to a fixed capacity)."""
+
+    def body(carry, xs):
+        if anchor_mask is None:
+            target, target_mask = xs, None
+            step_params, anchor_params, matrices, points, labels = carry
+            points_mask = None
+        else:
+            target, target_mask = xs
+            (step_params, anchor_params, matrices, points, labels,
+             points_mask) = carry
 
         # --- step phase: current clusters -> next frame
         step_res = train_pose_mlp(
             model, step_params, matrices, target, points, labels,
+            target_mask=target_mask, points_mask=points_mask,
             epochs=cfg.epochs, learning_rate=cfg.lr_step,
             stop_patience=cfg.stop_patience,
             scheduler_patience=cfg.scheduler_patience,
             scheduler_factor=cfg.scheduler_factor,
             chamfer_backend=cfg.chamfer_backend,
+            corr_every=cfg.corr_every,
         )
 
         if cfg.mlp_icp:
@@ -93,11 +110,13 @@ def _frame_step(model: PoseRegressor, cfg: RegistrationConfig, anchor_points, an
             anchor_res = train_pose_mlp(
                 model, anchor_params, step_res.best_matrices, target,
                 anchor_points, anchor_labels,
+                target_mask=target_mask, points_mask=anchor_mask,
                 epochs=cfg.epochs, learning_rate=cfg.lr_anchor,
                 stop_patience=cfg.stop_patience,
                 scheduler_patience=cfg.scheduler_patience,
                 scheduler_factor=cfg.scheduler_factor,
                 chamfer_backend=cfg.chamfer_backend,
+                corr_every=cfg.corr_every,
             )
             new_m = anchor_res.best_matrices
             anchor_loss = anchor_res.best_loss
@@ -112,13 +131,19 @@ def _frame_step(model: PoseRegressor, cfg: RegistrationConfig, anchor_points, an
             init_c = jnp.concatenate(
                 [new_m[:, :3, 3], jnp.zeros((new_m.shape[0], 3), target.dtype)], -1
             )
-            km = lloyd(feats, init_c, iters=cfg.kmeans_iters)
+            km = lloyd(feats, init_c, iters=cfg.kmeans_iters, mask=target_mask)
         else:
-            km = lloyd(target, new_m[:, :3, 3], iters=cfg.kmeans_iters)
+            km = lloyd(target, new_m[:, :3, 3], iters=cfg.kmeans_iters,
+                       mask=target_mask)
         new_labels = km.labels
         new_points = local_points_from_labels(new_m, target, new_labels)
 
-        new_carry = (step_res.params, new_anchor_params, new_m, new_points, new_labels)
+        if anchor_mask is None:
+            new_carry = (step_res.params, new_anchor_params, new_m, new_points,
+                         new_labels)
+        else:
+            new_carry = (step_res.params, new_anchor_params, new_m, new_points,
+                         new_labels, target_mask)
         out = (new_m, new_points, new_labels, anchor_loss, step_res.best_loss)
         return new_carry, out
 
@@ -133,16 +158,29 @@ def register_sequence(
     anchor_params,
     init: SegmentInit,
     frames: jax.Array,
+    masks: jax.Array | None = None,
 ) -> SequenceResult:
     """Register one sequence of frames ``(T, N, 3)`` against shared init.
 
     ``init`` holds the (shared) frame-0 segmentation; frames[0] must be the
     frame the segmentation came from.  Returns per-frame artifacts with the
     frame-0 state prepended, matching the reference's artifact layout.
+
+    ``masks (T, N)`` marks valid points for ragged (sentinel-padded)
+    frames — the real-scan path, where per-frame point counts vary.
     """
-    body = _frame_step(model, cfg, init.points, init.labels)
-    carry0 = (step_params, anchor_params, init.matrices, init.points, init.labels)
-    _, (ms, pts, labs, losses, step_losses) = jax.lax.scan(body, carry0, frames[1:])
+    if masks is None:
+        body = _frame_step(model, cfg, init.points, init.labels)
+        carry0 = (step_params, anchor_params, init.matrices, init.points,
+                  init.labels)
+        xs = frames[1:]
+    else:
+        body = _frame_step(model, cfg, init.points, init.labels,
+                           anchor_mask=masks[0])
+        carry0 = (step_params, anchor_params, init.matrices, init.points,
+                  init.labels, masks[0])
+        xs = (frames[1:], masks[1:])
+    _, (ms, pts, labs, losses, step_losses) = jax.lax.scan(body, carry0, xs)
 
     matrices = jnp.concatenate([init.matrices[None], ms], axis=0)
     local_points = jnp.concatenate([init.points[None], pts], axis=0)
@@ -158,6 +196,7 @@ def register_sequences_fused(
     anchor_params_batch,
     init: SegmentInit,
     frames: jax.Array,  # (S, T, N, 3)
+    masks: jax.Array | None = None,  # (S, T, N) for ragged frames
 ) -> SequenceResult:
     """All sequences and all frames as ONE compiled program.
 
@@ -166,8 +205,11 @@ def register_sequences_fused(
     trip dispatch deadlines; use :func:`register_sequences_batched` there
     (identical math, per-phase dispatch).
     """
-    fn = lambda sp, ap, fr: register_sequence(model, cfg, sp, ap, init, fr)
-    return jax.vmap(fn)(step_params_batch, anchor_params_batch, frames)
+    if masks is None:
+        fn = lambda sp, ap, fr: register_sequence(model, cfg, sp, ap, init, fr)
+        return jax.vmap(fn)(step_params_batch, anchor_params_batch, frames)
+    fn = lambda sp, ap, fr, mk: register_sequence(model, cfg, sp, ap, init, fr, mk)
+    return jax.vmap(fn)(step_params_batch, anchor_params_batch, frames, masks)
 
 
 @functools.lru_cache(maxsize=16)
@@ -193,16 +235,42 @@ def _batched_phases(model: PoseRegressor, cfg: RegistrationConfig):
                 scheduler_patience=cfg.scheduler_patience,
                 scheduler_factor=cfg.scheduler_factor,
                 chamfer_backend=cfg.chamfer_backend,
+                corr_every=cfg.corr_every,
             )
             return c2
         return jax.vmap(one)(carry, matrices, target, points, labels)
 
-    def train_phase(params, matrices, target, points, labels, lr):
+    @functools.partial(jax.jit, static_argnames=("num_epochs",))
+    def chunk_phase_masked(carry, matrices, target, points, labels,
+                           target_mask, points_mask, num_epochs):
+        def one(c, m, t, pts, lab, tm, pm):
+            c2, losses = train_epochs(
+                model, c, m, t, pts, lab, num_epochs,
+                target_mask=tm, points_mask=pm,
+                stop_patience=cfg.stop_patience,
+                scheduler_patience=cfg.scheduler_patience,
+                scheduler_factor=cfg.scheduler_factor,
+                chamfer_backend=cfg.chamfer_backend,
+                corr_every=cfg.corr_every,
+            )
+            return c2
+        return jax.vmap(one)(carry, matrices, target, points, labels,
+                             target_mask, points_mask)
+
+    def train_phase(params, matrices, target, points, labels, lr,
+                    target_mask=None, points_mask=None):
         carry = start_phase(params, matrices, lr)
+        # chunks must stay multiples of the correspondence-refresh period
+        ce = max(1, cfg.corr_every)
+        chunk = max(ce, (cfg.dispatch_epochs // ce) * ce)
         remaining = cfg.epochs
         while remaining > 0:
-            n = min(cfg.dispatch_epochs, remaining)
-            carry = chunk_phase(carry, matrices, target, points, labels, n)
+            n = min(chunk, remaining)
+            if target_mask is None and points_mask is None:
+                carry = chunk_phase(carry, matrices, target, points, labels, n)
+            else:
+                carry = chunk_phase_masked(carry, matrices, target, points,
+                                           labels, target_mask, points_mask, n)
             remaining -= n
         from .optimizer import TrainResult
 
@@ -221,8 +289,8 @@ def _batched_phases(model: PoseRegressor, cfg: RegistrationConfig):
         return jax.vmap(one)(points, labels, matrices, target)
 
     @jax.jit
-    def resample_phase(matrices, target):
-        def one(m, t):
+    def resample_phase(matrices, target, target_mask=None):
+        def one(m, t, tm):
             if cfg.use_normals:
                 from ..ops.plane import estimate_normals
 
@@ -230,12 +298,14 @@ def _batched_phases(model: PoseRegressor, cfg: RegistrationConfig):
                 init_c = jnp.concatenate(
                     [m[:, :3, 3], jnp.zeros((m.shape[0], 3), t.dtype)], -1
                 )
-                km = lloyd(feats, init_c, iters=cfg.kmeans_iters)
+                km = lloyd(feats, init_c, iters=cfg.kmeans_iters, mask=tm)
             else:
-                km = lloyd(t, m[:, :3, 3], iters=cfg.kmeans_iters)
+                km = lloyd(t, m[:, :3, 3], iters=cfg.kmeans_iters, mask=tm)
             pts = local_points_from_labels(m, t, km.labels)
             return pts, km.labels
-        return jax.vmap(one)(matrices, target)
+        if target_mask is None:
+            return jax.vmap(lambda m, t: one(m, t, None))(matrices, target)
+        return jax.vmap(one)(matrices, target, target_mask)
 
     return train_phase, icp_phase, resample_phase
 
@@ -247,6 +317,7 @@ def register_sequences_batched(
     anchor_params_batch,
     init: SegmentInit,
     frames: jax.Array,  # (S, T, N, 3)
+    masks: jax.Array | None = None,  # (S, T, N) for ragged frames
 ) -> SequenceResult:
     """All sequences batched, dispatched one optimization phase at a time.
 
@@ -270,12 +341,17 @@ def register_sequences_batched(
     step_params = step_params_batch
     anchor_params = anchor_params_batch
 
+    points_mask = masks[:, 0] if masks is not None else None
+    anchor_mask = points_mask
+
     out_m, out_p, out_l = [matrices], [points], [labels]
     out_loss, out_step_loss = [], []
     for i in range(T - 1):
         target = frames[:, i + 1]
+        target_mask = masks[:, i + 1] if masks is not None else None
         step_res = train_phase(step_params, matrices, target, points, labels,
-                               lr=cfg.lr_step)
+                               lr=cfg.lr_step,
+                               target_mask=target_mask, points_mask=points_mask)
         step_params = step_res.params
         if cfg.mlp_icp:
             new_m = icp_phase(points, labels, step_res.best_matrices, target)
@@ -284,11 +360,13 @@ def register_sequences_batched(
             anchor_res = train_phase(
                 anchor_params, step_res.best_matrices, target,
                 anchor_points, anchor_labels, lr=cfg.lr_anchor,
+                target_mask=target_mask, points_mask=anchor_mask,
             )
             anchor_params = anchor_res.params
             new_m = anchor_res.best_matrices
             loss = anchor_res.best_loss
-        points, labels = resample_phase(new_m, target)
+        points, labels = resample_phase(new_m, target, target_mask)
+        points_mask = target_mask
         matrices = new_m
         out_m.append(matrices)
         out_p.append(points)

@@ -88,6 +88,8 @@ class CoordMap:
             maps = self._diff_maps()
         elif mode == "legacy":
             maps = self._legacy_maps()
+        elif mode == "rigid":
+            maps = self._rigid_maps()
         else:
             raise ValueError(f"unknown dist map mode {mode!r}")
         stacked = np.stack(maps, axis=2)
@@ -129,6 +131,38 @@ class CoordMap:
             maps.append(trans_dist + rot_dist)
         return maps
 
+    def _rigid_maps(self) -> list[np.ndarray]:
+        """Relative-pose *deviation* maps (ours, beyond reference).
+
+        The reference's maps measure the mean relative pose between
+        cluster trajectories, which confounds spatial separation with
+        articulation (two near, co-moving clusters on different links look
+        more similar than two far clusters on the same link).  Rigidity is
+        a statement about time-variance instead: if clusters j, k ride the
+        same rigid body then ``R_j(t)^T R_k(t)`` and ``R_j(t)^T (p_k(t) -
+        p_j(t))`` are constant over time up to registration noise, while a
+        joint between them makes both wander with the joint angle.  The
+        per-step map is the deviation of that relative transform from its
+        step-0 value — near the registration noise floor for same-link
+        pairs, growing with excitation across joints.
+        """
+        lam_rot, lam_bbox = self._lambdas()
+        Rm = self.matrices[:, :, :3, :3]     # (T, K, 3, 3)
+        p = self.matrices[:, :, :3, 3]       # (T, K, 3)
+        # R_rel[t, j, k] = R_j(t)^T R_k(t)
+        Rrel = np.einsum("tjai,tkam->tjkim", Rm, Rm)
+        dp = p[:, None, :, :] - p[:, :, None, :]       # (T, j, k, 3) p_k - p_j
+        trel = np.einsum("tjai,tjka->tjki", Rm, dp)    # R_j^T (p_k - p_j)
+        # deviation from the step-0 relative transform
+        dR = np.einsum("jkai,tjkam->tjkim", Rrel[0], Rrel)  # Rrel0^T Rrel_t
+        tr = np.trace(dR, axis1=-2, axis2=-1)
+        ang = np.arccos(np.clip((tr - 1.0) * 0.5, -1.0, 1.0))   # (T, K, K)
+        dt = np.linalg.norm(trel - trel[0], axis=-1)            # (T, K, K)
+        dev = lam_bbox * dt + lam_rot * ang
+        # the translation deviation is expressed in frame j; symmetrize
+        dev = 0.5 * (dev + np.swapaxes(dev, 1, 2))
+        return [dev[t] for t in range(1, dev.shape[0])]
+
     def _legacy_maps(self) -> list[np.ndarray]:
         maps = []
         for i in range(self.coords.shape[0]):
@@ -148,7 +182,13 @@ class CoordMap:
 
 
 def combined_sum_map(cms: list[CoordMap], mode: str = "pose") -> np.ndarray:
-    """Average the per-sequence sum maps and min-max normalize (main():667-671)."""
+    """Combine per-sequence sum maps and min-max normalize (main():667-671).
+
+    Reference modes average across sequences.  The ``rigid`` deviation map
+    combines with max instead: a pair is non-rigid if *any* sequence
+    excites the joint between them, and averaging would dilute joints that
+    only one sequence moves by the sequence count.
+    """
     maps = [cm.dist_map(mode)[1] for cm in cms]
-    m = np.mean(maps, axis=0)
+    m = np.max(maps, axis=0) if mode == "rigid" else np.mean(maps, axis=0)
     return (m - m.min()) / max(m.max() - m.min(), 1e-12)

@@ -61,6 +61,50 @@ def load_raw_sequences(
     return names, np.stack(all_seqs)
 
 
+def load_raw_sequences_padded(
+    raw_dir: str, num_videos: int
+) -> tuple[list[str], np.ndarray, np.ndarray | None]:
+    """Like :func:`load_raw_sequences` but tolerant of ragged frames.
+
+    Real scans capture a different point count per frame (the reference's
+    real-data path, mlp_reg.py:424-426).  Frames are sentinel-padded to
+    the max count and a boolean validity mask (S, T, N) is returned;
+    uniform datasets return ``masks=None`` and behave exactly as before.
+    """
+    from .ops.knn import PAD_COORD
+
+    seq_dirs = list_sequence_dirs(raw_dir)[:num_videos]
+    if not seq_dirs:
+        parent = os.path.dirname(raw_dir)
+        seq_dirs = [
+            d for d in list_sequence_dirs(parent)
+            if glob.glob(os.path.join(d, "*", "robot.ply"))
+        ][:num_videos]
+    if not seq_dirs:
+        raise FileNotFoundError(f"no raw sequences under {raw_dir}")
+    names = [os.path.basename(os.path.normpath(d)) for d in seq_dirs]
+    raw = []
+    for d in seq_dirs:
+        frames = []
+        for fd in sorted(glob.glob(os.path.join(d, "*/"))):
+            ply = os.path.join(fd, "robot.ply")
+            if os.path.exists(ply):
+                frames.append(read_ply(ply))
+        raw.append(frames)
+    counts = {len(f) for seq in raw for f in seq}
+    if len(counts) == 1:
+        return names, np.stack([np.stack(seq) for seq in raw]), None
+    n_max = max(counts)
+    S, T = len(raw), len(raw[0])
+    frames = np.full((S, T, n_max, 3), PAD_COORD, np.float32)
+    masks = np.zeros((S, T, n_max), bool)
+    for s, seq in enumerate(raw):
+        for t, f in enumerate(seq):
+            frames[s, t, : len(f)] = f
+            masks[s, t, : len(f)] = True
+    return names, frames, masks
+
+
 def _telemetry(cfg: PipelineConfig) -> Telemetry:
     return Telemetry(path=os.path.join(cfg.data_root, "telemetry.json"))
 
@@ -79,6 +123,7 @@ def run_registration(
     seed: int = 0,
     mlp_icp: bool = False,
     use_normals: bool = False,
+    corr_every: int = 1,
     verbose: bool = True,
 ) -> dict:
     """Register all sequences in one batched device program; save artifacts."""
@@ -89,21 +134,28 @@ def run_registration(
     )
 
     robot = get_robot(cfg.robot)
-    names, frames = load_raw_sequences(cfg.raw_dir(), cfg.num_videos)
+    names, frames, masks = load_raw_sequences_padded(cfg.raw_dir(), cfg.num_videos)
     S, T, N, _ = frames.shape
     if verbose:
         print(f"[register] {S} sequences x {T} frames x {N} points, "
-              f"K={robot.num_seg}, mode={cfg.rot}")
+              f"K={robot.num_seg}, mode={cfg.rot}"
+              + (" (ragged, masked)" if masks is not None else ""))
 
     frames_j = jnp.asarray(frames)
+    masks_j = jnp.asarray(masks) if masks is not None else None
     key = jax.random.PRNGKey(seed)
     init = initial_segments(key, frames_j[0, 0], robot.num_seg, n_init=10,
-                            use_normals=use_normals)
+                            use_normals=use_normals,
+                            mask=masks_j[0, 0] if masks_j is not None else None)
 
+    if corr_every > 1 and cfg.epochs % corr_every:
+        raise ValueError(
+            f"--epochs {cfg.epochs} must be a multiple of --corr-every {corr_every}"
+        )
     reg_cfg = RegistrationConfig(
         num_seg=robot.num_seg, mode=cfg.rot, epochs=cfg.epochs,
         chamfer_backend=chamfer_backend, mlp_icp=mlp_icp,
-        use_normals=use_normals,
+        use_normals=use_normals, corr_every=corr_every,
     )
     model = PoseRegressor(mode=cfg.rot, hidden_dim=512)
 
@@ -117,7 +169,7 @@ def run_registration(
 
     t0 = time.time()
     result = register_sequences_batched(
-        model, reg_cfg, step_params, anchor_params, init, frames_j
+        model, reg_cfg, step_params, anchor_params, init, frames_j, masks_j
     )
     jax.block_until_ready(result.matrices)
     elapsed = time.time() - t0
@@ -132,11 +184,17 @@ def run_registration(
         pass
     for s, name in enumerate(names):
         save_dir = os.path.join(cfg.part_dir(), name)
+        lp = np.asarray(result.local_points[s])
+        lb = np.asarray(result.labels[s])
+        if masks is not None:
+            # drop sentinel-padded rows so downstream link clouds stay clean
+            lp = [lp[t][masks[s, t]] for t in range(lp.shape[0])]
+            lb = [lb[t][masks[s, t]] for t in range(len(lb))]
         save_registration(
             save_dir,
             np.asarray(result.matrices[s]),
-            np.asarray(result.local_points[s]),
-            np.asarray(result.labels[s]),
+            lp,
+            lb,
             np.asarray(result.losses[s]),
         )
     return {
@@ -232,11 +290,15 @@ def run_build_urdf(
     if refine == "chain" and joints:
         from .joints.chain import refine_chain
 
-        _, frames = load_raw_sequences(cfg.raw_dir(), end_video or cfg.num_videos)
+        _, frames, fmasks = load_raw_sequences_padded(
+            cfg.raw_dir(), end_video or cfg.num_videos
+        )
         frames = frames[:, cfg.start_steps : cfg.end_steps]
+        if fmasks is not None:
+            fmasks = fmasks[:, cfg.start_steps : cfg.end_steps]
         joints, _ = refine_chain(
             links, joints, cms, frames, steps=refine_steps,
-            points_per_link=1024, verbose=verbose,
+            points_per_link=1024, frame_masks=fmasks, verbose=verbose,
         )
 
     # link artifacts + meshes from the first sequence only (reference :726).

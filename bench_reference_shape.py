@@ -1,0 +1,231 @@
+"""Anchored baseline: this repo's kernels in the REFERENCE's execution shape.
+
+The reference (/root/reference/PointCloud/mlp_reg.py:60-116,202-217) runs
+registration as
+
+    python frame loop
+      -> 300-epoch python loop, ONE chamfer program per epoch,
+         host sync on loss.item() every epoch        (:102)
+      -> repeat for the anchor MLP                   (:349)
+      -> GPU->CPU transfer, sklearn k-means, CPU->GPU (:202-217,371-374)
+
+This script reproduces that cost structure with the SAME kernels on the
+SAME chip: one jitted single-epoch program dispatched per epoch with a
+host value-fetch after each, and a real device->host->device k-means round
+trip per frame.  measured(fused) / measured(this) is then a like-for-like
+speedup with a measured denominator — no assumptions about an unnamed
+reference GPU.
+
+Also reports kernel-level microbenchmarks: chamfer fwd+grad time at the
+production size and the measured VPU roofline (min-only distance pass),
+i.e. how close the kernel is to this chip's speed of light.
+
+Prints one JSON object.  Run with --pairs N to time N frame pairs
+(default 1; the per-pair cost is flat, the total extrapolates linearly).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+NUM_VIDEOS = 5
+NUM_STEPS = 10
+NUM_POINTS = 5000
+EPOCHS = 300
+
+
+def measure_reference_shape(pairs: int = 1) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sklearn.cluster import k_means as sk_kmeans
+
+    from autourdf_tpu.config import PipelineConfig, get_robot
+    from autourdf_tpu.models.regmlp import init_params
+    from autourdf_tpu.registration import initial_segments
+    from autourdf_tpu.registration.optimizer import (
+        train_epochs,
+        train_init,
+    )
+    from autourdf_tpu.registration.segments import local_points_from_labels
+    from autourdf_tpu.workflow import load_raw_sequences
+    from bench import _cache_dir, _ensure_dataset
+
+    cfg = PipelineConfig(
+        robot="wx200_5", data_root=os.path.join(_cache_dir(), "data"),
+        num_step=NUM_STEPS, num_videos=NUM_VIDEOS, num_points=NUM_POINTS,
+        epochs=EPOCHS,
+    )
+    _ensure_dataset(cfg)
+    robot = get_robot(cfg.robot)
+    _, frames = load_raw_sequences(cfg.raw_dir(), NUM_VIDEOS)
+    frames = jnp.asarray(frames[:, :NUM_STEPS])
+
+    init = initial_segments(jax.random.PRNGKey(0), frames[0, 0], robot.num_seg,
+                            n_init=10)
+    model, sp = init_params(jax.random.PRNGKey(1), "q", robot.num_seg, 512)
+    _, ap = init_params(jax.random.PRNGKey(2), "q", robot.num_seg, 512)
+
+    def one_epoch(carry, matrices, target, points, labels):
+        # ONE epoch per dispatch = the reference's per-epoch program shape
+        return train_epochs(model, carry, matrices, target, points, labels, 1)
+
+    one_epoch_j = jax.jit(one_epoch)
+
+    def synced_train(params, matrices, target, points, labels, lr):
+        carry = train_init(params, matrices, lr)
+        for _ in range(EPOCHS):
+            carry, losses = one_epoch_j(carry, matrices, target, points, labels)
+            float(np.asarray(losses)[0])  # the reference's loss.item() sync
+        return carry
+
+    # warm-up: compile the one-epoch program (not timed)
+    c0 = train_init(sp, init.matrices, 2e-4)
+    c0, l0 = one_epoch_j(c0, init.matrices, frames[0, 1], init.points, init.labels)
+    float(np.asarray(l0)[0])
+
+    matrices, points, labels = init.matrices, init.points, init.labels
+    t0 = time.time()
+    for i in range(pairs):
+        target = frames[0, (i % (NUM_STEPS - 1)) + 1] + np.float32(i) * 1e-6
+        carry = synced_train(sp, matrices, target, points, labels, 2e-4)
+        carry = synced_train(ap, carry.best_m, target, init.points, init.labels,
+                             1e-4)
+        new_m = carry.best_m
+        # the reference's per-frame CPU k-means round trip (mlp_reg.py:202-217)
+        target_h = np.asarray(target)
+        centers_h = np.asarray(new_m[:, :3, 3])
+        _, lab_h, _ = sk_kmeans(target_h, robot.num_seg, init=centers_h, n_init=1)
+        labels = jnp.asarray(lab_h.astype(np.int32))
+        matrices = new_m
+        points = local_points_from_labels(matrices, target, labels)
+        np.asarray(points)  # upload + materialize
+    per_pair = (time.time() - t0) / pairs
+
+    total_pairs = NUM_VIDEOS * (NUM_STEPS - 1)
+    ref_shape_fps = 1.0 / per_pair
+    return {
+        "per_pair_seconds": round(per_pair, 3),
+        "frames_per_sec": round(ref_shape_fps, 4),
+        "seconds_for_45_pairs_extrapolated": round(per_pair * total_pairs, 1),
+        "pairs_measured": pairs,
+        "epochs_per_pair": 2 * EPOCHS,
+        "backend": jax.default_backend(),
+    }
+
+
+def measure_kernel_roofline() -> dict:
+    """Chamfer fwd+grad at the production size vs the VPU speed-of-light
+    (min-only distance pass: identical traffic and distance math, no argmin
+    tracking, no gradient) measured on this chip."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from autourdf_tpu.ops.chamfer import chamfer_distance
+    from autourdf_tpu.ops.knn import pad_points
+
+    N = M = NUM_POINTS
+    rng = np.random.default_rng(0)
+    X = rng.normal(scale=0.3, size=(N, 3)).astype(np.float32)
+    Y = rng.normal(scale=0.3, size=(M, 3)).astype(np.float32)
+    R = 500
+
+    def scan_wrap(body):
+        @jax.jit
+        def run(x, y):
+            def step(c, i):
+                return c + body(x + i * 1e-9, y), None
+            acc, _ = jax.lax.scan(step, 0.0, jnp.arange(R, dtype=jnp.float32))
+            return acc
+        return run
+
+    def timed(fn):
+        xj, yj = jnp.asarray(X), jnp.asarray(Y)
+        _ = np.asarray(fn(xj, yj))  # compile
+        best = 1e9
+        for _ in range(3):
+            xp = jnp.asarray(X + rng.normal(scale=1e-6, size=X.shape).astype(np.float32))
+            _ = np.asarray(fn(xp, yj))
+            t0 = time.perf_counter()
+            _ = np.asarray(fn(xp, yj))
+            best = min(best, (time.perf_counter() - t0) / R)
+        return best
+
+    def _minonly_kernel(x_ref, yt_ref, dist_ref, cmin_ref):
+        i = pl.program_id(0)
+        x0 = x_ref[:, 0:1]; x1 = x_ref[:, 1:2]; x2 = x_ref[:, 2:3]
+        y0 = yt_ref[0:1, :]; y1 = yt_ref[1:2, :]; y2 = yt_ref[2:3, :]
+        acc = jnp.abs(x0 - y0) + jnp.abs(x1 - y1) + jnp.abs(x2 - y2)
+        dist_ref[:] = jnp.min(acc, axis=1, keepdims=True)
+        cmin_ref[pl.ds(i, 1), :] = jnp.min(acc, axis=0, keepdims=True)
+
+    @functools.partial(jax.jit, static_argnames=("tx",))
+    def minonly(x, y, tx=256):
+        yp = pad_points(y, 512)
+        mp = yp.shape[0]
+        xp = pad_points(x, tx)
+        nt = xp.shape[0] // tx
+        dist, cmin = pl.pallas_call(
+            _minonly_kernel,
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec((tx, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((tx, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nt, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((xp.shape[0], 1), jnp.float32),
+                jax.ShapeDtypeStruct((nt, mp), jnp.float32),
+            ],
+        )(xp, yp.T)
+        return jnp.sum(dist[: x.shape[0]]) + jnp.sum(jnp.min(cmin, 0)[: y.shape[0]])
+
+    def loss_grad(x, y):
+        l, g = jax.value_and_grad(
+            lambda x: chamfer_distance(x, y, norm=1, backend="pallas")
+        )(x)
+        return l + jnp.sum(g)
+
+    def fwd_only(x, y):
+        return chamfer_distance(x, y, norm=1, backend="pallas")
+
+    t_roof = timed(scan_wrap(minonly))
+    t_fwd = timed(scan_wrap(fwd_only))
+    t_grad = timed(scan_wrap(loss_grad))
+    dist_per_sec = N * M / t_roof
+    return {
+        "size": f"{N}x{M}",
+        "vpu_roofline_minonly_us": round(t_roof * 1e6, 1),
+        "chamfer_fwd_us": round(t_fwd * 1e6, 1),
+        "chamfer_fwd_grad_us": round(t_grad * 1e6, 1),
+        "pairwise_dists_per_sec": f"{dist_per_sec:.3e}",
+        "fwd_roofline_fraction": round(t_roof / t_fwd, 3),
+        "fwd_grad_roofline_fraction": round(t_roof / t_grad, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=1)
+    ap.add_argument("--skip-kernels", action="store_true")
+    args = ap.parse_args()
+    out = {"reference_shape": measure_reference_shape(args.pairs)}
+    if not args.skip_kernels:
+        out["kernels"] = measure_kernel_roofline()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

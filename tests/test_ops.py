@@ -233,6 +233,105 @@ class TestChamfer:
             )
 
 
+class TestCorrespondenceAPI:
+    def test_from_indices_equals_chamfer_when_fresh(self, rng):
+        from autourdf_tpu.ops.chamfer import (
+            chamfer_correspondences,
+            chamfer_from_indices,
+        )
+
+        x = jnp.asarray(rng.normal(size=(120, 3)), jnp.float32)
+        y = jnp.asarray(rng.normal(size=(140, 3)), jnp.float32)
+        ix, iy = chamfer_correspondences(x, y, backend="xla")
+        np.testing.assert_allclose(
+            float(chamfer_from_indices(x, y, ix, iy)),
+            float(chamfer_distance(x, y, backend="xla")),
+            rtol=1e-6,
+        )
+
+    def test_stale_indices_upper_bound(self, rng):
+        from autourdf_tpu.ops.chamfer import (
+            chamfer_correspondences,
+            chamfer_from_indices,
+        )
+
+        x = jnp.asarray(rng.normal(size=(100, 3)), jnp.float32)
+        y = jnp.asarray(rng.normal(size=(100, 3)), jnp.float32)
+        ix, iy = chamfer_correspondences(x, y, backend="xla")
+        x2 = x + 0.05 * jnp.asarray(rng.normal(size=(100, 3)), jnp.float32)
+        stale = float(chamfer_from_indices(x2, y, ix, iy))
+        true = float(chamfer_distance(x2, y, backend="xla"))
+        assert stale >= true - 1e-6
+
+    def test_masked_from_indices(self, rng):
+        from autourdf_tpu.ops.chamfer import (
+            chamfer_correspondences,
+            chamfer_from_indices,
+        )
+
+        x = rng.normal(size=(80, 3)).astype(np.float32)
+        y = rng.normal(size=(90, 3)).astype(np.float32)
+        xm = jnp.asarray(np.arange(80) < 60)
+        ym = jnp.asarray(np.arange(90) < 70)
+        xj, yj = jnp.asarray(x), jnp.asarray(y)
+        ix, iy = chamfer_correspondences(xj, yj, xm, ym, backend="xla")
+        np.testing.assert_allclose(
+            float(chamfer_from_indices(xj, yj, ix, iy, xm, ym)),
+            float(chamfer_distance(xj, yj, xm, ym, backend="xla")),
+            rtol=1e-6,
+        )
+
+
+class TestAmortizedTraining:
+    def _setup(self, rng, K=4, N=200):
+        import jax as _jax
+
+        from autourdf_tpu.models.regmlp import init_params
+
+        centers = rng.normal(scale=0.3, size=(K, 3)).astype(np.float32)
+        m0 = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+        m0[:, :3, 3] = centers
+        labels = rng.integers(0, K, N).astype(np.int32)
+        pts = rng.normal(scale=0.05, size=(N, 3)).astype(np.float32)
+        world = pts + centers[labels]
+        target = world + np.float32(0.02)  # small rigid shift to recover
+        model, params = init_params(_jax.random.PRNGKey(0), "q", K, 32)
+        return (model, params, jnp.asarray(m0), jnp.asarray(target),
+                jnp.asarray(pts), jnp.asarray(labels))
+
+    def test_amortized_converges_close_to_exact(self, rng):
+        from autourdf_tpu.registration.optimizer import train_pose_mlp
+
+        model, params, m0, target, pts, labels = self._setup(rng)
+        exact = train_pose_mlp(model, params, m0, target, pts, labels,
+                               epochs=60, chamfer_backend="xla")
+        amort = train_pose_mlp(model, params, m0, target, pts, labels,
+                               epochs=60, chamfer_backend="xla", corr_every=4)
+        # both must reduce the loss strongly and land in the same regime
+        assert float(amort.best_loss) < 0.7 * float(amort.loss_history[0])
+        assert float(amort.best_loss) <= 1.25 * float(exact.best_loss) + 1e-4
+
+    def test_corr_every_one_is_exact_path(self, rng):
+        from autourdf_tpu.registration.optimizer import train_pose_mlp
+
+        model, params, m0, target, pts, labels = self._setup(rng)
+        a = train_pose_mlp(model, params, m0, target, pts, labels,
+                           epochs=20, chamfer_backend="xla")
+        b = train_pose_mlp(model, params, m0, target, pts, labels,
+                           epochs=20, chamfer_backend="xla", corr_every=1)
+        np.testing.assert_allclose(
+            np.asarray(a.loss_history), np.asarray(b.loss_history), rtol=1e-6
+        )
+
+    def test_indivisible_epochs_raise(self, rng):
+        from autourdf_tpu.registration.optimizer import train_pose_mlp
+
+        model, params, m0, target, pts, labels = self._setup(rng)
+        with pytest.raises(ValueError):
+            train_pose_mlp(model, params, m0, target, pts, labels,
+                           epochs=25, chamfer_backend="xla", corr_every=4)
+
+
 class TestKMeans:
     def test_lloyd_converges_to_sklearn(self, rng):
         from sklearn.cluster import k_means as sk_kmeans

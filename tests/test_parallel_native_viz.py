@@ -20,6 +20,73 @@ class TestSharding:
         loss_single = float(chamfer_distance(x, y, backend="xla"))
         np.testing.assert_allclose(loss_sharded, loss_single, rtol=1e-5)
 
+    def test_sharded_chamfer_nondivisible_and_masked(self, rng):
+        from autourdf_tpu.ops import chamfer_distance
+        from autourdf_tpu.parallel import make_mesh, sharded_chamfer
+
+        mesh = make_mesh((8,), ("sp",))
+        # M not a multiple of the mesh size exercises sentinel padding
+        x = jnp.asarray(rng.normal(size=(101, 3)), jnp.float32)
+        y = jnp.asarray(rng.normal(size=(203, 3)), jnp.float32)
+        np.testing.assert_allclose(
+            float(sharded_chamfer(mesh, x, y)),
+            float(chamfer_distance(x, y, backend="xla")),
+            rtol=1e-5,
+        )
+        # with masks on both sides
+        xm = jnp.asarray(rng.random(101) < 0.8)
+        ym = jnp.asarray(rng.random(203) < 0.7)
+        np.testing.assert_allclose(
+            float(sharded_chamfer(mesh, x, y, xm, ym)),
+            float(chamfer_distance(x, y, xm, ym, backend="xla")),
+            rtol=1e-5,
+        )
+
+    def test_sharded_chamfer_grad_matches_single(self, rng):
+        from autourdf_tpu.ops import chamfer_distance
+        from autourdf_tpu.parallel import make_mesh, sharded_chamfer
+
+        mesh = make_mesh((8,), ("sp",))
+        x = jnp.asarray(rng.normal(size=(64, 3)), jnp.float32)
+        y = jnp.asarray(rng.normal(size=(160, 3)), jnp.float32)
+        gx_s, gy_s = jax.grad(
+            lambda x, y: sharded_chamfer(mesh, x, y), argnums=(0, 1)
+        )(x, y)
+        gx_1, gy_1 = jax.grad(
+            lambda x, y: chamfer_distance(x, y, backend="xla"), argnums=(0, 1)
+        )(x, y)
+        np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_1), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gy_s), np.asarray(gy_1), atol=1e-6)
+
+    def test_chamfer_auto_shards_in_mesh_scope(self, rng, monkeypatch):
+        import autourdf_tpu.ops.chamfer as cham_mod
+        from autourdf_tpu.parallel import make_mesh
+
+        # drop the threshold so a small cloud triggers the sharded path
+        monkeypatch.setattr(cham_mod, "AUTO_SHARD_MIN_M", 128)
+        calls = []
+        import autourdf_tpu.parallel.sharding as sh_mod
+
+        orig = sh_mod.sharded_chamfer
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(sh_mod, "sharded_chamfer", spy)
+        x = jnp.asarray(rng.normal(size=(96, 3)), jnp.float32)
+        y = jnp.asarray(rng.normal(size=(256, 3)), jnp.float32)
+        baseline = float(cham_mod.chamfer_distance(x, y, backend="xla"))
+        mesh = make_mesh((8,), ("sp",))
+        with mesh:
+            auto = float(cham_mod.chamfer_distance(x, y, backend="xla"))
+        assert calls, "mesh-scoped large chamfer did not dispatch to the sharded path"
+        np.testing.assert_allclose(auto, baseline, rtol=1e-5)
+        # outside the scope: single-device path, no extra calls
+        n_calls = len(calls)
+        _ = float(cham_mod.chamfer_distance(x, y, backend="xla"))
+        assert len(calls) == n_calls
+
     def test_dp_registration_matches_unsharded(self, rng):
         from autourdf_tpu.models import PoseRegressor, init_params
         from autourdf_tpu.parallel import make_mesh, register_sequences_sharded

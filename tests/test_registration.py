@@ -160,6 +160,63 @@ class TestSequencePipeline:
             d = float(chamfer_distance(pred, frames[t], backend="xla"))
             assert d < 0.05, f"frame {t}: chamfer {d}"
 
+    def test_ragged_frames_masked_registration(self, tmp_path):
+        """The real-scan path: ragged per-frame point counts, sentinel-padded
+        with masks through the full registration driver, artifacts saved
+        with only the valid rows (reference mlp_reg.py:424-426)."""
+        import os
+
+        from autourdf_tpu.config import ROBOTS, PipelineConfig, RobotConfig
+        from autourdf_tpu.io.artifacts import load_registration
+        from autourdf_tpu.io.ply import write_ply
+        from autourdf_tpu.workflow import (
+            load_raw_sequences_padded,
+            run_registration,
+        )
+
+        frames = np.asarray(hinge_frames(num_frames=4, angle_step=0.15))
+        counts = [400, 370, 355, 390]  # ragged, like real captures
+        rng = np.random.default_rng(0)
+        raw = str(tmp_path / "data" / "raw" / "ragged_toy" / "4_deg_20_cams")
+        for t, n in enumerate(counts):
+            d = os.path.join(raw, "V0000", f"{t:04}")
+            os.makedirs(d, exist_ok=True)
+            sel = rng.choice(len(frames[t]), n, replace=False)
+            write_ply(os.path.join(d, "robot.ply"), frames[t][sel])
+            np.savetxt(os.path.join(d, "joint_cfg.txt"), [t * 0.15])
+
+        names, fr, masks = load_raw_sequences_padded(raw, 1)
+        assert masks is not None and fr.shape == (1, 4, 400, 3)
+        assert [int(m.sum()) for m in masks[0]] == counts
+
+        ROBOTS["ragged_toy"] = RobotConfig(
+            name="ragged_toy", num_seg=4, dof=1, gt_urdf="unused.urdf")
+        cfg = PipelineConfig(robot="ragged_toy",
+                             data_root=str(tmp_path / "data"),
+                             num_videos=1, epochs=60)
+        stats = run_registration(cfg, chamfer_backend="xla", verbose=False)
+        assert np.isfinite(stats["mean_loss"])
+        assert stats["mean_loss"] < 0.1
+
+        # artifacts carry only the valid rows per frame
+        part = os.path.join(str(tmp_path / "data"), "part",
+                            "ragged_toy_4_seg", "4_deg_20_cams", "V0000")
+        art = load_registration(part)
+        assert [len(p) for p in art.cluster_points] == counts
+        # and the registered world clouds match the (valid) targets
+        from autourdf_tpu.ops import chamfer_distance
+        from autourdf_tpu.registration import transform_by_labels
+
+        for t in range(1, 4):
+            pred = transform_by_labels(
+                jnp.asarray(art.matrices[t], jnp.float32),
+                jnp.asarray(art.cluster_points[t], jnp.float32),
+                jnp.asarray(art.cluster_labels[t]),
+            )
+            tgt = jnp.asarray(fr[0, t][masks[0, t]], jnp.float32)
+            d = float(chamfer_distance(pred, tgt, backend="xla"))
+            assert d < 0.08, f"frame {t}: chamfer {d}"
+
     def test_moving_cluster_follows_arm(self):
         # clusters assigned to the rotating arm must actually move
         frames = hinge_frames(num_frames=3, angle_step=0.25)

@@ -69,7 +69,7 @@ class TestCoordMap:
         across = [sum_map[i, j + 3] for i in range(3) for j in range(3)]
         assert max(within) < min(across)
 
-    @pytest.mark.parametrize("mode", ["pose", "diff", "legacy"])
+    @pytest.mark.parametrize("mode", ["pose", "diff", "legacy", "rigid"])
     def test_modes_produce_valid_maps(self, mode):
         cm = make_hinge_coordmap()
         stacked, sum_map = cm.dist_map(mode)
@@ -77,6 +77,56 @@ class TestCoordMap:
         assert np.all(np.isfinite(sum_map))
         np.testing.assert_allclose(sum_map, sum_map.T, atol=1e-6)
         np.testing.assert_allclose(np.diag(sum_map), 0, atol=1e-6)
+
+    def test_rigid_map_zero_within_links(self):
+        cm = make_hinge_coordmap()
+        _, sum_map = cm.dist_map("rigid")
+        within = [sum_map[i, j] for i in range(3) for j in range(3) if i != j]
+        within += [sum_map[i + 3, j + 3] for i in range(3) for j in range(3) if i != j]
+        across = [sum_map[i, j + 3] for i in range(3) for j in range(3)]
+        # same-link relative poses are exactly constant in the synthetic ->
+        # deviation is at float-arccos noise; cross-link pairs see the hinge
+        assert max(within) < 1e-5
+        assert min(across) > 1e-3
+        assert max(within) < 0.01 * min(across)
+
+    def test_rigid_map_beats_proximity_confound(self):
+        """Interleaved links: clusters of different links are spatially
+        closer than same-link clusters.  The reference's mean-pose map
+        groups by proximity here; the rigid deviation map must still
+        recover the articulation split."""
+        from autourdf_tpu.structure import merge_gap_dof_search
+
+        rng = np.random.default_rng(1)
+        T, K = 8, 6
+        axis = np.asarray([0.0, 0.0, 1.0])
+        pivot = np.asarray([0.0, 0.0, 0.0])
+        # link A clusters at x = 0, 0.2, 0.4; link B at x = 0.1, 0.3, 0.5
+        offs_a = np.asarray([[0.0, 0, 0], [0.2, 0, 0], [0.4, 0, 0]])
+        offs_b = np.asarray([[0.1, 0.02, 0], [0.3, 0.02, 0], [0.5, 0.02, 0]])
+        matrices = np.tile(np.eye(4), (T, K, 1, 1))
+        raw = []
+        for t in range(T):
+            ang = t * 0.06  # small excitation
+            rot = ScipyRot.from_rotvec(axis * ang).as_matrix()
+            for k in range(3):
+                matrices[t, k, :3, 3] = offs_a[k]
+            for k in range(3):
+                matrices[t, 3 + k, :3, :3] = rot
+                matrices[t, 3 + k, :3, 3] = pivot + rot @ (offs_b[k] - pivot)
+            raw.append(rng.normal(size=(50, 3)))
+        pts = [np.zeros((1, 3))] * T
+        labs = [np.zeros(1, np.int32)] * T
+        cm = CoordMap.from_arrays(matrices, pts, labs, raw)
+
+        rigid = combined_sum_map([cm], "rigid")
+        groups, labels, ratios, nls = merge_gap_dof_search(rigid, link_range=(2, 6))
+        assert sorted(sorted(g) for g in groups) == [[0, 1, 2], [3, 4, 5]]
+        # and the split must be decisive: near-zero within, clear across
+        within = max(rigid[i, j] for g in ([0, 1, 2], [3, 4, 5])
+                     for i in g for j in g if i != j)
+        across = min(rigid[i, j] for i in (0, 1, 2) for j in (3, 4, 5))
+        assert within < 0.05 * across
 
 
 class TestClustering:
