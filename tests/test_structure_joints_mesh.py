@@ -238,3 +238,42 @@ class TestMeshing:
     def test_empty_cloud(self):
         mesh = marching_tetrahedra(np.zeros((4, 4, 4), bool))
         assert len(mesh.faces) == 0
+
+    def test_projection_tightens_surface(self, rng):
+        """Vertex projection + Taubin must cut the surface error of the raw
+        half-crossing isosurface roughly in half on a known sphere, and
+        keep the mesh watertight."""
+        r = 0.1
+        dirs = rng.normal(size=(20000, 3))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        pts = dirs * r  # surface-only sample (like a scanned shell)
+        vox = 0.012
+
+        raw = cloud_to_mesh(pts, vox, project=False, smooth_iterations=1)
+        tight = cloud_to_mesh(pts, vox, project=True)
+        assert is_watertight(raw) and is_watertight(tight)
+
+        def surf_err(m):
+            return float(np.abs(np.linalg.norm(m.vertices, axis=1) - r).mean())
+
+        e_raw, e_tight = surf_err(raw), surf_err(tight)
+        assert e_tight < 0.6 * e_raw, (e_raw, e_tight)
+        assert e_tight < 0.35 * vox
+
+    def test_taubin_preserves_volume(self, rng):
+        vol = np.zeros((8, 8, 8), bool)
+        vol[2:6, 2:6, 2:6] = True
+        mesh = marching_tetrahedra(vol, voxel_size=1.0)
+
+        def signed_volume(m):
+            v, f = m.vertices, m.faces
+            return float(np.sum(np.einsum("ij,ij->i", v[f[:, 0]],
+                                          np.cross(v[f[:, 1]], v[f[:, 2]]))) / 6.0)
+
+        from autourdf_tpu.mesh.meshing import laplacian_smooth, taubin_smooth
+
+        v0 = signed_volume(mesh)
+        v_taubin = signed_volume(taubin_smooth(mesh, iterations=10))
+        v_lap = signed_volume(laplacian_smooth(mesh, iterations=10))
+        assert abs(v_taubin - v0) < 0.15 * v0      # Taubin: volume held
+        assert v_lap < 0.75 * v0                   # Laplacian: shrinks hard
