@@ -53,6 +53,7 @@ class CoordMap:
     cluster_points: list          # T x (N_t, 3) local-frame flat points
     cluster_labels: list          # T x (N_t,)
     bbox_diag: float              # diagonal of the union of raw clouds
+    raw_clouds: list | None = None  # T x (N_t, 3) observed world clouds
 
     @property
     def num_coords(self) -> int:
@@ -76,7 +77,8 @@ class CoordMap:
         coords = np.concatenate([m[..., :3, 3], quat], axis=-1)
         allpts = np.concatenate([np.asarray(c) for c in raw_clouds], axis=0)
         diag = float(np.linalg.norm(allpts.max(0) - allpts.min(0)))
-        return cls(m, coords, list(cluster_points), list(cluster_labels), diag)
+        return cls(m, coords, list(cluster_points), list(cluster_labels), diag,
+                   raw_clouds=[np.asarray(c) for c in raw_clouds])
 
     # ------------------------------------------------------------------
 
@@ -181,6 +183,89 @@ class CoordMap:
         return _pairwise_norm(s)
 
 
+def swap_consistency_map(
+    cm: CoordMap,
+    samples_per_cluster: int = 64,
+    target_points: int = 2048,
+    seed: int = 0,
+) -> np.ndarray:
+    """Observation-level rigidity test (ours, beyond reference).
+
+    For each cluster pair (j, k): carry cluster j's frame-0 world points
+    with cluster *k*'s registered motion, and measure their mean distance
+    to the actually observed cloud at each frame.  Same rigid body -> k's
+    motion is j's motion -> the carried points land on the observed
+    surface (distance = sensor/registration noise).  Across a joint ->
+    they land in free space.
+
+    Unlike frame-trajectory maps this is immune to the cylinder-spin
+    ambiguity: a registration twist about a link's symmetry axis maps the
+    observed surface to itself, so observation-equivalent motions score
+    identically (cluster frames on smooth round links spin incoherently
+    and pollute pose-deviation maps — the franka/ur5 shoulder failure).
+
+    Per-pair noise floors (the diagonal d(j,j)) are subtracted so the map
+    is in "excess off-surface distance" units, then bbox-normalized.
+    Batched on device: one NN-kernel call per frame over all K^2 carried
+    point sets.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.knn import nn_search
+
+    rng = np.random.default_rng(seed)
+    T, K = cm.matrices.shape[:2]
+    P = samples_per_cluster
+
+    # cluster j's frame-0 world points, subsampled to P (repeat-padded)
+    pts0 = np.asarray(cm.cluster_points[0])
+    labels0 = np.asarray(cm.cluster_labels[0])
+    m0 = np.asarray(cm.matrices[0])
+    X0 = np.zeros((K, P, 3), np.float32)
+    for j in range(K):
+        sel = np.nonzero(labels0 == j)[0]
+        if len(sel) == 0:
+            continue
+        pick = sel[rng.integers(0, len(sel), P)] if len(sel) < P else \
+            rng.choice(sel, P, replace=False)
+        X0[j] = pts0[pick] @ m0[j, :3, :3].T + m0[j, :3, 3]
+
+    # relative motions rel[t, k] = M_t^k (M_0^k)^-1
+    minv0 = np.linalg.inv(m0)
+    rel = np.einsum("tkab,kbc->tkac", np.asarray(cm.matrices), minv0)
+
+    # carried points: Y[t, k, j, p] = rel[t, k] @ X0[j, p]
+    d_sum = np.zeros((K, K))
+    clouds = cm.raw_clouds
+    if clouds is None:
+        raise ValueError("swap_consistency_map needs CoordMap.raw_clouds")
+
+    @jax.jit
+    def frame_dist(carried, cloud):
+        q = carried.reshape(-1, 3)
+        d, _ = nn_search(q, cloud, norm=2)
+        return jnp.sqrt(jnp.maximum(d, 0.0)).reshape(K, K, P).mean(-1)
+
+    for t in range(1, T):
+        Rt = rel[t, :, :3, :3].astype(np.float32)   # (K, 3, 3)
+        tt = rel[t, :, :3, 3].astype(np.float32)
+        carried = np.einsum("kab,jpb->kjpa", Rt, X0) + tt[:, None, None, :]
+        cloud = np.asarray(clouds[t], np.float32)
+        if len(cloud) > target_points:
+            cloud = cloud[rng.choice(len(cloud), target_points, replace=False)]
+        dmat = np.asarray(frame_dist(jnp.asarray(carried), jnp.asarray(cloud)))
+        d_sum += dmat.T  # dmat[k, j] = dist of j's points under k's motion
+    d_mean = d_sum / max(T - 1, 1)
+
+    floor = np.diag(d_mean)
+    excess = d_mean - np.maximum(floor[:, None], floor[None, :])
+    excess = np.maximum(excess, 0.0)
+    excess = 0.5 * (excess + excess.T)
+    np.fill_diagonal(excess, 0.0)
+    return excess / max(cm.bbox_diag, 1e-12)
+
+
 def combined_sum_map(cms: list[CoordMap], mode: str = "pose") -> np.ndarray:
     """Combine per-sequence sum maps and min-max normalize (main():667-671).
 
@@ -189,6 +274,9 @@ def combined_sum_map(cms: list[CoordMap], mode: str = "pose") -> np.ndarray:
     excites the joint between them, and averaging would dilute joints that
     only one sequence moves by the sequence count.
     """
-    maps = [cm.dist_map(mode)[1] for cm in cms]
-    m = np.max(maps, axis=0) if mode == "rigid" else np.mean(maps, axis=0)
+    if mode == "swap":
+        maps = [swap_consistency_map(cm) for cm in cms]
+    else:
+        maps = [cm.dist_map(mode)[1] for cm in cms]
+    m = np.max(maps, axis=0) if mode in ("rigid", "swap") else np.mean(maps, axis=0)
     return (m - m.min()) / max(m.max() - m.min(), 1e-12)
