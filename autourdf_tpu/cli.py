@@ -97,6 +97,9 @@ def main(argv=None) -> int:
     p.add_argument("--refine", type=str, default="chain", choices=["chain", "none"],
                    help="global kinematic-chain joint refinement (ours); none = reference parity")
     p.add_argument("--refine-steps", type=int, default=400)
+    p.add_argument("--tree", type=str, default="motion", choices=["motion", "mst"],
+                   help="link tree: motion = revolute-consistency MST (ours); "
+                        "mst = reference proximity MST")
 
     p = sub.add_parser("evaluate", help="joint accuracy + resim chamfer vs gt")
     _add_common(p)
@@ -150,7 +153,7 @@ def main(argv=None) -> int:
         out = workflow.run_build_urdf(
             cfg, unknown_dof=args.unknown_dof, dist_mode=args.dist_mode,
             dof_method=args.dof_method, end_video=args.end_video,
-            refine=args.refine, refine_steps=args.refine_steps,
+            refine=args.refine, refine_steps=args.refine_steps, tree=args.tree,
         )
         print(json.dumps({"urdf": out["urdf_path"], "links": out["num_links"],
                           "dof": out["dof"]}))

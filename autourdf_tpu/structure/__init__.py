@@ -20,7 +20,7 @@ from .pairwise import (
     greedy_tree,
     identify_base_group,
 )
-from .tree import LinkNode, cluster_mst, kinematics_tree
+from .tree import LinkNode, cluster_mst, kinematics_tree, motion_tree, revolute_consistency_matrix
 
 __all__ = [
     "CoordMap",
@@ -33,6 +33,8 @@ __all__ = [
     "single_linkage_components",
     "cluster_mst",
     "kinematics_tree",
+    "motion_tree",
+    "revolute_consistency_matrix",
     "LinkNode",
     "consolidate_links",
     "refine_link_clusters",

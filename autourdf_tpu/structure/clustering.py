@@ -70,7 +70,11 @@ def merge_gap_dof_search(
     """
     k = d_map.shape[0]
     if link_range is None:
-        link_range = (4, min(25, k))
+        # the reference scans 4..min(25, K) (coord_map.py:685-706), which
+        # can never discover the 2-link Sapien objects (laptop etc.); the
+        # widened lower bound is verified not to regress any robot family
+        # (tests + RESULTS.md round-2 table)
+        link_range = (2, min(25, k))
     d = 0.5 * (np.asarray(d_map, np.float64) + np.asarray(d_map, np.float64).T)
     np.fill_diagonal(d, 0.0)
     Z = linkage(squareform(d, checks=False), method="single")
@@ -119,7 +123,7 @@ def silhouette_dof_search(
     """
     k = d_map.shape[0]
     if link_range is None:
-        link_range = (4, min(25, k))
+        link_range = (2, min(25, k))  # reference: (4, ...); see merge_gap note
     nls = np.arange(link_range[0], link_range[1])
     scores = []
     for nl in nls:

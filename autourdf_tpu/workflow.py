@@ -235,6 +235,7 @@ def run_build_urdf(
     end_video: int | None = None,
     refine: str = "chain",
     refine_steps: int = 400,
+    tree: str = "motion",
     verbose: bool = True,
 ) -> dict:
     """Structure discovery -> joints -> link meshes -> URDF file.
@@ -242,7 +243,11 @@ def run_build_urdf(
     ``refine="chain"`` (default) runs the global kinematic-chain fit
     against the raw frames after the screw estimate — a beyond-reference
     step that typically cuts wrist-joint axis errors several-fold; pass
-    ``refine="none"`` for pure reference-parity behavior."""
+    ``refine="none"`` for pure reference-parity behavior.
+
+    ``tree="motion"`` (default) orders links by single-revolute
+    consistency + proximity (structure.motion_tree — fixes the ur5 wrist
+    mis-ordering); ``tree="mst"`` is the reference's proximity-only MST."""
     from .joints import estimate_joints_from_tree
     from .mesh import generate_link_meshes
     from .structure import (
@@ -280,8 +285,13 @@ def run_build_urdf(
         dof = robot.dof
         groups, labels, _ = coord_clustering(sum_map, dof + 1)
 
-    g0 = cluster_mst(cms[0])
-    links = kinematics_tree(cms[0], groups, g0)
+    if tree == "motion":
+        from .structure import motion_tree
+
+        links = motion_tree(cms, groups, cfg.end_steps - cfg.start_steps)
+    else:
+        g0 = cluster_mst(cms[0])
+        links = kinematics_tree(cms[0], groups, g0)
     # cms are already sliced to [start_steps:end_steps]; index them 0-based
     joints = estimate_joints_from_tree(
         links, cms, 0, cfg.end_steps - cfg.start_steps, interval=4

@@ -147,6 +147,21 @@ class TestClustering:
         groups, labels, scores, nls = silhouette_dof_search(d, link_range=(2, 7))
         assert len(groups) == 3
 
+    def test_default_range_reaches_two_links(self):
+        """1-DoF objects (laptop etc.) need the widened default range:
+        the reference scans 4..25 and can never return 2 links."""
+        from autourdf_tpu.structure import auto_dof_search
+
+        rng = np.random.default_rng(1)
+        vals = np.concatenate([np.zeros(5), np.full(5, 8.0)]) + rng.normal(
+            scale=0.05, size=10
+        )
+        d = np.abs(vals[:, None] - vals[None, :])
+        for fn in (auto_dof_search, silhouette_dof_search):
+            groups, labels, scores, nls = fn(d)
+            assert len(groups) == 2, fn.__name__
+            assert int(nls[0]) == 2
+
 
 class TestTree:
     def test_hinge_tree(self):
@@ -161,6 +176,98 @@ class TestTree:
         # root is the static link (clusters 0-2)
         assert root.cluster_idx == {0, 1, 2}
         assert links[1].parent_id == root.id
+
+
+def make_wrist_trap_chain(num_frames=8, seed=0):
+    """Chain A -> B -> C -> D mimicking the ur5 wrist mis-ordering.
+
+    C is a small in-between link (one cluster, slightly off the B-D
+    line), and one of D's clusters sits marginally closer to B's tip
+    than C does — so the reference-style cluster MST wires B-D and D-C,
+    skipping C's true place.  The relative motion B->D is then a
+    two-revolute composite (skew axes x then y) no estimator can fit.
+    True joints: J1 (A->B) z@(0.5,0,0); J2 (B->C) x@(1.2,0.06,0);
+    J3 (C->D) y@(1.33,0.07,0)."""
+    rng = np.random.default_rng(seed)
+    p1 = np.array([0.5, 0.0, 0.0])
+    p2 = np.array([1.2, 0.06, 0.0])
+    p3 = np.array([1.33, 0.07, 0.0])
+    offs_a = np.asarray([[-0.1, 0, 0], [0.1, 0, 0]])
+    offs_b = np.asarray([[0.9, 0, 0], [1.1, 0, 0]])
+    offs_c = np.asarray([[1.33, 0.18, 0]])
+    offs_d = np.asarray([[1.37, -0.075, 0], [1.55, 0.075, 0]])
+    K, T = 7, num_frames
+    matrices = np.tile(np.eye(4), (T, K, 1, 1))
+    local_pts = rng.normal(scale=0.03, size=(K, 30, 3))
+    cluster_points, cluster_labels, raw_clouds = [], [], []
+    for t in range(T):
+        r1 = ScipyRot.from_rotvec([0, 0, 0.05 * t]).as_matrix()
+        r2 = ScipyRot.from_rotvec([0.06 * t, 0, 0]).as_matrix()
+        r3 = ScipyRot.from_rotvec([0, 0.08 * t, 0]).as_matrix()
+        world_pts, labels = [], []
+
+        def put(k, R, pos):
+            matrices[t, k, :3, :3] = R
+            matrices[t, k, :3, 3] = pos
+            world_pts.append(local_pts[k] @ R.T + pos)
+            labels.extend([k] * 30)
+
+        for k in range(2):
+            put(k, np.eye(3), offs_a[k])
+        for k in range(2):
+            put(2 + k, r1, p1 + r1 @ (offs_b[k] - p1))
+        Rc = r1 @ r2
+        put(4, Rc, p1 + r1 @ ((p2 - p1) + r2 @ (offs_c[0] - p2)))
+        Rd = Rc @ r3
+        for k in range(2):
+            pos = p1 + r1 @ ((p2 - p1) + r2 @ ((p3 - p2) + r3 @ (offs_d[k] - p3)))
+            put(5 + k, Rd, pos)
+        cluster_points.append(local_pts.reshape(-1, 3))
+        cluster_labels.append(np.asarray(labels, np.int32))
+        raw_clouds.append(np.concatenate(world_pts))
+    return CoordMap.from_arrays(matrices, cluster_points, cluster_labels,
+                                raw_clouds)
+
+
+class TestMotionTree:
+    def _groups(self):
+        return [{0, 1}, {2, 3}, {4}, {5, 6}]
+
+    def test_proximity_mst_falls_into_the_trap(self):
+        """Documents WHY motion_tree exists: the reference-parity tree
+        skips the small in-between link C (as it does the ur5 wrist_1)."""
+        cm = make_wrist_trap_chain()
+        links = kinematics_tree(cm, self._groups(), cluster_mst(cm))
+        by_cluster = {frozenset(l.cluster_idx): l for l in links}
+        b = by_cluster[frozenset({2, 3})]
+        c = by_cluster[frozenset({4})]
+        d = by_cluster[frozenset({5, 6})]
+        assert d.parent_id == b.id  # the trap: D adopted directly by B
+        assert c.parent_id == d.id
+
+    def test_motion_tree_recovers_true_chain(self):
+        from autourdf_tpu.structure import motion_tree
+
+        cm = make_wrist_trap_chain()
+        links = motion_tree([cm], self._groups(), num_steps=8)
+        by_cluster = {frozenset(l.cluster_idx): l for l in links}
+        a = by_cluster[frozenset({0, 1})]
+        b = by_cluster[frozenset({2, 3})]
+        c = by_cluster[frozenset({4})]
+        d = by_cluster[frozenset({5, 6})]
+        assert a.parent_id is None
+        assert b.parent_id == a.id
+        assert c.parent_id == b.id
+        assert d.parent_id == c.id
+
+    def test_consistency_matrix_separates_composites(self):
+        from autourdf_tpu.structure import revolute_consistency_matrix
+
+        cm = make_wrist_trap_chain()
+        D = revolute_consistency_matrix([cm], self._groups(), num_steps=8)
+        # true single-revolute pairs beat the skew-axis composite B->D
+        assert D[1, 2] < D[1, 3]
+        assert D[2, 3] < D[1, 3]
 
 
 class TestJoints:
