@@ -100,6 +100,8 @@ def main(argv=None) -> int:
     p.add_argument("--tree", type=str, default="motion", choices=["motion", "mst"],
                    help="link tree: motion = revolute-consistency MST (ours); "
                         "mst = reference proximity MST")
+    p.add_argument("--no-reassign", action="store_true",
+                   help="skip the carry-test boundary-cluster reassignment")
 
     p = sub.add_parser("evaluate", help="joint accuracy + resim chamfer vs gt")
     _add_common(p)
@@ -154,6 +156,7 @@ def main(argv=None) -> int:
             cfg, unknown_dof=args.unknown_dof, dist_mode=args.dist_mode,
             dof_method=args.dof_method, end_video=args.end_video,
             refine=args.refine, refine_steps=args.refine_steps, tree=args.tree,
+            reassign=not args.no_reassign,
         )
         print(json.dumps({"urdf": out["urdf_path"], "links": out["num_links"],
                           "dof": out["dof"]}))

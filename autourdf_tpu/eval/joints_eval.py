@@ -125,6 +125,16 @@ def compare_joints(
                 de = min(de, 180.0 - de)
                 cost[gi, pi] = pe + de / 90.0
         cost = np.where(np.isfinite(cost), cost, 1e6)  # degenerate axes
+        # COLLINEAR joints (franka's pan and roll share one axis line at
+        # the home config) have identical line-to-line cost either way, so
+        # the assignment would be arbitrary — and a swap sends re-sim
+        # commands to the wrong joints.  A tiny chain-depth tie-breaker
+        # (both joint lists are in kinematic order) resolves exactly those
+        # ties without ever overriding a genuine geometric distinction.
+        if n > 1 and np_pred > 1:
+            gi_d = np.arange(n)[:, None] / (n - 1)
+            pi_d = np.arange(np_pred)[None, :] / (np_pred - 1)
+            cost = cost + 1e-3 * np.abs(gi_d - pi_d)
         rows, cols = linear_sum_assignment(cost)
         joint_map = np.full(n, -1, dtype=int)
         joint_map[rows] = cols

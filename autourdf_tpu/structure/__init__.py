@@ -5,7 +5,8 @@ from .clustering import (
     silhouette_dof_search,
     single_linkage_components,
 )
-from .coord_map import CoordMap, combined_sum_map
+from .coord_map import (CoordMap, combined_sum_map,
+                        refine_groups_by_carry, swap_consistency_map)
 from .model_select import chain_fit_dof_search
 from .links import (
     LinkArtifacts,
@@ -25,6 +26,8 @@ from .tree import LinkNode, cluster_mst, kinematics_tree, motion_tree, revolute_
 __all__ = [
     "CoordMap",
     "combined_sum_map",
+    "refine_groups_by_carry",
+    "swap_consistency_map",
     "coord_clustering",
     "silhouette_dof_search",
     "merge_gap_dof_search",

@@ -188,6 +188,7 @@ def swap_consistency_map(
     samples_per_cluster: int = 64,
     target_points: int = 2048,
     seed: int = 0,
+    raw: bool = False,
 ) -> np.ndarray:
     """Observation-level rigidity test (ours, beyond reference).
 
@@ -257,6 +258,10 @@ def swap_consistency_map(
         dmat = np.asarray(frame_dist(jnp.asarray(carried), jnp.asarray(cloud)))
         d_sum += dmat.T  # dmat[k, j] = dist of j's points under k's motion
     d_mean = d_sum / max(T - 1, 1)
+    if raw:
+        # d_mean[j, k] = mean off-surface distance of cluster j's points
+        # carried by cluster k's motion (no floor subtraction / normalizing)
+        return d_mean
 
     floor = np.diag(d_mean)
     excess = d_mean - np.maximum(floor[:, None], floor[None, :])
@@ -264,6 +269,61 @@ def swap_consistency_map(
     excess = 0.5 * (excess + excess.T)
     np.fill_diagonal(excess, 0.0)
     return excess / max(cm.bbox_diag, 1e-12)
+
+
+def refine_groups_by_carry(
+    cms: list[CoordMap],
+    groups: list[set[int]],
+    margin: float = 0.8,
+    verbose: bool = False,
+) -> list[set[int]]:
+    """Reassign boundary-straddling clusters by the carry test (ours).
+
+    k-means segments cut across joints, so a cluster near a joint can be
+    grouped with the wrong link even when the link COUNT is right (the
+    franka elbow case: one shoulder-side cluster grouped distally, which
+    poisons that link's mesh and the re-simulation at bent configs).  For
+    each cluster j, score every candidate link g by the best
+    observation-level explanation its member motions give j's points
+    (min over k in g, k != j, of the raw carry distance), averaged over
+    sequences; move j only when another link explains it ``margin`` times
+    better than its own (excluding j itself, whose self-explanation is
+    trivially perfect).  Empty groups are dropped.
+    """
+    d = np.mean([swap_consistency_map(cm, raw=True) for cm in cms], axis=0)
+    K = d.shape[0]
+    labels = np.full(K, -1)
+    for gi, g in enumerate(groups):
+        for j in g:
+            labels[j] = gi
+    out = [set(g) for g in groups]
+    for j in range(K):
+        cur = labels[j]
+        if len(out[cur]) <= 1:
+            # a singleton link has no other member to score j against —
+            # and dissolving a link is a structure change, not a boundary
+            # fix; leave it to the DoF search
+            continue
+        def group_score(gi):
+            members = [k for k in out[gi] if k != j]
+            return min(d[j, k] for k in members) if members else np.inf
+        cur_score = group_score(cur)
+        best_gi, best_score = cur, cur_score
+        for gi in range(len(out)):
+            if gi == cur:
+                continue
+            s = group_score(gi)
+            if s < best_score:
+                best_gi, best_score = gi, s
+        if best_gi != cur and best_score < margin * cur_score:
+            out[cur].discard(j)
+            out[best_gi].add(j)
+            labels[j] = best_gi
+            if verbose:
+                print(f"[structure] carry test moved cluster {j}: "
+                      f"link {cur} ({cur_score:.4f}) -> link {best_gi} "
+                      f"({best_score:.4f})")
+    return [g for g in out if g]
 
 
 def combined_sum_map(cms: list[CoordMap], mode: str = "pose") -> np.ndarray:

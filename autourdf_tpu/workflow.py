@@ -227,6 +227,38 @@ def build_coord_maps(cfg: PipelineConfig, num_videos: int | None = None,
     return cms, part_dirs
 
 
+def _select_tree_by_chain_fit(cfg, candidates: dict, cms, num_steps: int,
+                              end_video: int | None, verbose: bool,
+                              probe_steps: int = 100):
+    """Pick the tree whose 1-DoF-per-edge chain model best fits the raw
+    clouds (short probe fit per candidate; see run_build_urdf)."""
+    from .joints import estimate_joints_from_tree
+    from .joints.chain import refine_chain
+
+    _, frames, fmasks = load_raw_sequences_padded(
+        cfg.raw_dir(), end_video or cfg.num_videos)
+    frames = frames[:, cfg.start_steps:cfg.end_steps]
+    if fmasks is not None:
+        fmasks = fmasks[:, cfg.start_steps:cfg.end_steps]
+    best_name, best_links, best_loss = None, None, np.inf
+    for name, links in candidates.items():
+        joints = estimate_joints_from_tree(links, cms, 0, num_steps, interval=4)
+        if not joints:
+            loss = np.inf
+        else:
+            _, result = refine_chain(links, joints, cms, frames,
+                                     steps=probe_steps, points_per_link=1024,
+                                     frame_masks=fmasks)
+            loss = float(result.loss)
+        if verbose:
+            print(f"[urdf] tree candidate {name}: probe chain loss {loss:.5f}")
+        if loss < best_loss:
+            best_name, best_links, best_loss = name, links, loss
+    if verbose:
+        print(f"[urdf] selected {best_name} tree")
+    return best_links
+
+
 def run_build_urdf(
     cfg: PipelineConfig,
     unknown_dof: bool = True,
@@ -236,6 +268,7 @@ def run_build_urdf(
     refine: str = "chain",
     refine_steps: int = 400,
     tree: str = "motion",
+    reassign: bool = True,
     verbose: bool = True,
 ) -> dict:
     """Structure discovery -> joints -> link meshes -> URDF file.
@@ -247,7 +280,13 @@ def run_build_urdf(
 
     ``tree="motion"`` (default) orders links by single-revolute
     consistency + proximity (structure.motion_tree — fixes the ur5 wrist
-    mis-ordering); ``tree="mst"`` is the reference's proximity-only MST."""
+    mis-ordering); when it disagrees with the reference's proximity MST
+    the two topologies are arbitrated by a short chain-fit probe (the
+    wrong tree contains a composite "joint" and fits the clouds worse).
+    ``tree="mst"`` forces the reference's proximity-only MST.
+
+    ``reassign`` (default True) runs the carry-test boundary-cluster
+    reassignment (structure.refine_groups_by_carry) after discovery."""
     from .joints import estimate_joints_from_tree
     from .mesh import generate_link_meshes
     from .structure import (
@@ -285,10 +324,32 @@ def run_build_urdf(
         dof = robot.dof
         groups, labels, _ = coord_clustering(sum_map, dof + 1)
 
+    if reassign:
+        from .structure import refine_groups_by_carry
+
+        groups = refine_groups_by_carry(cms, groups, verbose=verbose)
+        dof = len(groups) - 1
+
+    num_steps = cfg.end_steps - cfg.start_steps
     if tree == "motion":
         from .structure import motion_tree
 
-        links = motion_tree(cms, groups, cfg.end_steps - cfg.start_steps)
+        links = motion_tree(cms, groups, num_steps)
+        links_mst = kinematics_tree(cms[0], groups, cluster_mst(cms[0]))
+
+        def _edges(ls):
+            return {frozenset((l.id, l.parent_id)) for l in ls
+                    if l.parent_id is not None}
+
+        if _edges(links_mst) != _edges(links):
+            # the two topology hypotheses disagree (ur5 wrist vs wx200
+            # gripper class of cases) — let the observations decide: a
+            # composite joint modeled as one revolute cannot track the
+            # clouds, so the short chain fit's loss picks the true tree
+            links = _select_tree_by_chain_fit(
+                cfg, {"motion": links, "proximity-mst": links_mst},
+                cms, num_steps, end_video, verbose,
+            )
     else:
         g0 = cluster_mst(cms[0])
         links = kinematics_tree(cms[0], groups, g0)

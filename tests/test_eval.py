@@ -24,6 +24,31 @@ TWO_LINK = """<?xml version="1.0"?>
 """
 
 
+COLLINEAR = """<?xml version="1.0"?>
+<robot name="c">
+  <link name="base"/>
+  <link name="l1"/>
+  <link name="l2"/>
+  <link name="l3"/>
+  <joint name="pan" type="revolute">
+    <parent link="base"/><child link="l1"/>
+    <origin xyz="0 0 0.3"/><axis xyz="0 0 1"/>
+    <limit lower="-1" upper="1" effort="1" velocity="1"/>
+  </joint>
+  <joint name="lift" type="revolute">
+    <parent link="l1"/><child link="l2"/>
+    <origin xyz="0 0 0.2"/><axis xyz="0 1 0"/>
+    <limit lower="-1" upper="1" effort="1" velocity="1"/>
+  </joint>
+  <joint name="roll" type="revolute">
+    <parent link="l2"/><child link="l3"/>
+    <origin xyz="0 0 0.2"/><axis xyz="0 0 1"/>
+    <limit lower="-1" upper="1" effort="1" velocity="1"/>
+  </joint>
+</robot>
+"""
+
+
 class TestJointError:
     def test_identical_lines(self):
         pe, de = joint_error([0, 0, 0], [0, 0, 1], [0, 0, 5], [0, 0, 1])
@@ -59,6 +84,18 @@ class TestCompareJoints:
         assert max(cmp.dir_errors) < 1e-6
         assert list(cmp.joint_map) == [0, 1]
         assert cmp.direction_map == [1, 1]
+
+    def test_collinear_joints_match_in_chain_order(self, tmp_path):
+        """franka regression: pan and roll share one axis LINE at the
+        home config, so line-to-line cost cannot distinguish them and a
+        swapped match sends re-sim commands to the wrong joints.  The
+        chain-depth tie-breaker must keep the identity assignment."""
+        p = tmp_path / "c.urdf"
+        p.write_text(COLLINEAR)
+        cmp = compare_joints(str(p), str(p), dof=3, offset=np.zeros(3))
+        assert list(cmp.joint_map) == [0, 1, 2]
+        assert max(cmp.pos_errors) < 1e-9
+        assert max(cmp.dir_errors) < 1e-6
 
     def test_flipped_axis_detected(self, tmp_path, urdf):
         flipped = TWO_LINK.replace('<axis xyz="0 0 1"/>', '<axis xyz="0 0 -1"/>')

@@ -260,6 +260,24 @@ class TestMotionTree:
         assert c.parent_id == b.id
         assert d.parent_id == c.id
 
+    def test_carry_reassignment_fixes_boundary_cluster(self):
+        """A cluster grouped with the wrong link (the franka elbow case)
+        is moved back by the observation-level carry test."""
+        from autourdf_tpu.structure import refine_groups_by_carry
+
+        cm = make_wrist_trap_chain()
+        wrong = [{0, 1}, {2}, {3, 4}, {5, 6}]   # B's tip cluster 3 put in C's link
+        fixed = refine_groups_by_carry([cm], wrong)
+        assert sorted(sorted(g) for g in fixed) == [[0, 1], [2, 3], [4], [5, 6]]
+
+    def test_carry_reassignment_keeps_correct_groups(self):
+        from autourdf_tpu.structure import refine_groups_by_carry
+
+        cm = make_wrist_trap_chain()
+        right = self._groups()
+        fixed = refine_groups_by_carry([cm], right)
+        assert sorted(sorted(g) for g in fixed) == sorted(sorted(g) for g in right)
+
     def test_consistency_matrix_separates_composites(self):
         from autourdf_tpu.structure import revolute_consistency_matrix
 
