@@ -108,6 +108,10 @@ def main(argv=None) -> int:
     p.add_argument("--joint-map", type=str, default=None,
                    help="path to a reference-format joint index map txt")
     p.add_argument("--num-configs", type=int, default=3)
+    p.add_argument("--pred-ori", type=str, default=None,
+                   help="override predicted-URDF base euler 'r,p,y' (the "
+                        "registry value corrects the reference's rolled real "
+                        "scans; pass 0,0,0 for self-captured real-layout data)")
 
     p = sub.add_parser("view", help="render a URDF: axis snapshot + joint sweep GIFs")
     _add_common(p)
@@ -164,8 +168,10 @@ def main(argv=None) -> int:
         import numpy as np
 
         jm = np.loadtxt(args.joint_map, dtype=int) if args.joint_map else None
+        po = (tuple(float(v) for v in args.pred_ori.split(","))
+              if args.pred_ori else None)
         out = workflow.run_evaluation(cfg, joint_map=jm, asset_root=args.asset_root,
-                                      num_configs=args.num_configs)
+                                      num_configs=args.num_configs, pred_ori=po)
         print(json.dumps(out))
     elif args.cmd == "view":
         from . import viz

@@ -104,10 +104,15 @@ def resim_chamfer(
 
 
 def load_offset(raw_dir: str) -> np.ndarray:
-    """Start angles of the first sequence (evaluation.load_offset)."""
+    """Start angles of the first sequence (evaluation.load_offset).
+
+    Falls back to the flat real-data layout ``raw/{robot}/V*/`` when the
+    simulated step/cams level is absent (mlp_reg.py:424-426)."""
     import glob
 
     seqs = sorted(glob.glob(os.path.join(raw_dir, "*/")))
+    if not seqs:
+        seqs = sorted(glob.glob(os.path.join(os.path.dirname(raw_dir), "*/")))
     cfg = os.path.join(seqs[0], "0000", "joint_cfg.txt")
     vals = []
     for line in open(cfg):

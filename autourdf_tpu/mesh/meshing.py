@@ -88,29 +88,47 @@ def taubin_smooth(mesh: TriMesh, iterations: int = 5,
     return TriMesh(v, f)
 
 
+def vertex_normals(mesh: TriMesh) -> np.ndarray:
+    """Area-weighted per-vertex normals (outward for CCW watertight
+    meshes), unit length."""
+    v, f = mesh.vertices, mesh.faces
+    fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+    vn = np.zeros_like(v)
+    for c in range(3):
+        np.add.at(vn, f[:, c], fn)
+    n = np.linalg.norm(vn, axis=1, keepdims=True)
+    return vn / np.maximum(n, 1e-12)
+
+
 def project_to_cloud(
     mesh: TriMesh, points: np.ndarray, voxel_size: float,
-    k: int = 10, max_shift_voxels: float = 0.75,
+    k: int = 8, max_shift_voxels: float = 0.75,
 ) -> TriMesh:
     """Snap mesh vertices toward the scanned surface (ours, beyond the
     reference's raw marching-cubes output).
 
     Binary-occupancy isosurfaces sit on voxel-edge midpoints, a ~voxel/2
     inflation around the true surface that dominates re-simulation Chamfer
-    on large flat parts.  Each vertex moves to the centroid of its k
-    nearest cloud points, clamped to ``max_shift_voxels * voxel_size`` so
-    the relocation cannot fold the (watertight-by-construction) topology.
+    on large flat parts.  Each vertex moves ALONG ITS OUTWARD NORMAL by
+    the median signed offset of its k nearest cloud points — the median,
+    not the centroid: on plates thinner than a voxel the k-neighborhood
+    contains BOTH sides of the part, and a centroid target would drag the
+    two shells onto the midplane (the laptop-lid failure) while the
+    near-side majority keeps the median on the vertex's own side.  The
+    shift is clamped to ``max_shift_voxels * voxel_size`` so relocation
+    cannot fold the (watertight-by-construction) topology, and purely
+    normal motion preserves tangential vertex spacing.
     """
-    if len(points) < k or len(mesh.vertices) == 0:
+    if len(points) < k or len(mesh.vertices) == 0 or len(mesh.faces) == 0:
         return mesh
     tree = cKDTree(points)
     _, idx = tree.query(mesh.vertices, k=k)
-    targets = points[idx].mean(axis=1)
-    shift = targets - mesh.vertices
-    norm = np.linalg.norm(shift, axis=1, keepdims=True)
+    n = vertex_normals(mesh)
+    offs = np.einsum("vkc,vc->vk", points[idx] - mesh.vertices[:, None, :], n)
+    shift = np.median(offs, axis=1)
     max_shift = max_shift_voxels * voxel_size
-    scale = np.minimum(1.0, max_shift / np.maximum(norm, 1e-12))
-    return TriMesh(mesh.vertices + shift * scale, mesh.faces)
+    shift = np.clip(shift, -max_shift, max_shift)
+    return TriMesh(mesh.vertices + shift[:, None] * n, mesh.faces)
 
 
 def cloud_to_mesh(

@@ -175,10 +175,14 @@ def register_sequence(
                   init.labels)
         xs = frames[1:]
     else:
+        # the mask for init.points is the init's OWN mask (the frame the
+        # segmentation came from) — with a shared init, this sequence's
+        # masks[0] marks a different row set and would admit sentinels
+        init_mask = init.mask if init.mask is not None else masks[0]
         body = _frame_step(model, cfg, init.points, init.labels,
-                           anchor_mask=masks[0])
+                           anchor_mask=init_mask)
         carry0 = (step_params, anchor_params, init.matrices, init.points,
-                  init.labels, masks[0])
+                  init.labels, init_mask)
         xs = (frames[1:], masks[1:])
     _, (ms, pts, labs, losses, step_losses) = jax.lax.scan(body, carry0, xs)
 
@@ -341,7 +345,16 @@ def register_sequences_batched(
     step_params = step_params_batch
     anchor_params = anchor_params_batch
 
-    points_mask = masks[:, 0] if masks is not None else None
+    # init.points came from ONE frame (usually sequence 0's frame 0): its
+    # own mask must ride along; per-sequence masks[:, 0] would mark rows
+    # valid that are sentinel padding in init.points (the ragged real-scan
+    # failure: any sequence whose frame-0 count exceeds the init frame's
+    # count trains against 1e6-coordinate sentinels)
+    if masks is not None:
+        im = init.mask if init.mask is not None else masks[0, 0]
+        points_mask = jnp.broadcast_to(im[None], (S,) + im.shape)
+    else:
+        points_mask = None
     anchor_mask = points_mask
 
     out_m, out_p, out_l = [matrices], [points], [labels]

@@ -22,6 +22,11 @@ class SegmentInit(NamedTuple):
     matrices: jax.Array  # (K, 4, 4) identity-rotation frames at centroids
     points: jax.Array    # (N, 3) frame-0 points in their cluster's local frame
     labels: jax.Array    # (N,) int32 cluster assignment
+    # validity mask for ``points`` (ragged frames).  This is THE mask that
+    # must accompany these points everywhere: when the init is shared
+    # across sequences, another sequence's frame-0 mask marks a different
+    # set of rows valid and would let sentinel-padded rows into the loss.
+    mask: jax.Array | None = None
 
 
 def local_points_from_labels(
@@ -62,7 +67,7 @@ def initial_segments(
     eye = jnp.tile(jnp.eye(4, dtype=frame0.dtype), (num_seg, 1, 1))
     matrices = eye.at[:, :3, 3].set(centers)
     local = frame0 - centers[res.labels]
-    return SegmentInit(matrices, local, res.labels)
+    return SegmentInit(matrices, local, res.labels, mask)
 
 
 def world_points(seg_matrices: jax.Array, points: jax.Array, labels: jax.Array) -> jax.Array:

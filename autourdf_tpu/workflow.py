@@ -212,6 +212,14 @@ def build_coord_maps(cfg: PipelineConfig, num_videos: int | None = None,
 
     part_dirs = list_sequence_dirs(cfg.part_dir())[: num_videos or cfg.num_videos]
     raw_dirs = list_sequence_dirs(cfg.raw_dir())[: num_videos or cfg.num_videos]
+    if not raw_dirs:
+        # flat real-data layout: data/raw/{robot}/V*/ with no step/cams
+        # level (the reference's real-scan path, mlp_reg.py:424-426)
+        parent = os.path.dirname(cfg.raw_dir())
+        raw_dirs = [
+            d for d in list_sequence_dirs(parent)
+            if glob.glob(os.path.join(d, "*", "robot.ply"))
+        ][: num_videos or cfg.num_videos]
     cms = []
     for pd, rd in zip(part_dirs, raw_dirs):
         art = load_registration(pd, start, end)
@@ -406,18 +414,26 @@ def run_evaluation(
     asset_root: str | None = None,
     verbose: bool = True,
     num_configs: int = 3,
+    pred_ori: tuple | None = None,
 ) -> dict:
+    """``pred_ori`` overrides the registry's predicted-URDF base euler.
+    The registry value corrects the reference's REAL scans (captured with
+    a rolled base); data captured by this framework's own simulator is in
+    sim_ori's frame already, so self-generated real-layout runs pass
+    ``pred_ori=(0, 0, 0)`` (scripts/realscan_run.py)."""
     from .eval import compare_joints, load_offset, resim_chamfer
 
     robot = get_robot(cfg.robot)
     offset = load_offset(cfg.raw_dir())
+    if pred_ori is None:
+        pred_ori = robot.ori
     cmp = compare_joints(
         pred_urdf_path=cfg.urdf_path(),
         gt_urdf_path=robot.gt_path(asset_root),
         dof=robot.dof,
         offset=offset,
         sim_ori=robot.sim_ori,
-        pred_ori=robot.ori,
+        pred_ori=pred_ori,
         joint_map=joint_map,
         global_scale=robot.global_scale,
         asset_root=asset_root,
@@ -452,7 +468,7 @@ def run_evaluation(
         direction_map=cmp.direction_map,
         save_path=eval_dir,
         sim_ori=robot.sim_ori,
-        pred_ori=robot.ori,
+        pred_ori=pred_ori,
         radius=robot.cam_dist,
         num_cameras=cfg.num_cameras,
         global_scale=robot.global_scale,

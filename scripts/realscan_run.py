@@ -94,7 +94,9 @@ def main():
     print("[realscan] registration mean loss", stats["mean_loss"], flush=True)
     run_build_urdf(cfg, unknown_dof=True, dist_mode=args.dist_mode,
                    end_video=args.num_videos)
-    results = run_evaluation(cfg)
+    # the registry's ori corrects the reference's rolled REAL scans; our
+    # own capture is already in sim_ori's frame
+    results = run_evaluation(cfg, pred_ori=(0.0, 0.0, 0.0))
     print(json.dumps({"registration_mean_loss": stats["mean_loss"],
                       "eval": {k: v for k, v in results.items()
                                if isinstance(v, (int, float, str))}}))

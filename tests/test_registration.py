@@ -217,6 +217,39 @@ class TestSequencePipeline:
             d = float(chamfer_distance(pred, tgt, backend="xla"))
             assert d < 0.08, f"frame {t}: chamfer {d}"
 
+    def test_shared_init_mask_with_larger_other_sequence(self, tmp_path):
+        """Regression (real-scan, round 2): the init segmentation comes
+        from sequence 0's frame 0; a sequence whose own frame 0 has MORE
+        valid points must not apply its mask to the init points — that
+        marks sentinel-padded rows valid and 1e6-coordinate points enter
+        the loss (observed: losses 0.3-4.1 for every such sequence)."""
+        import os
+
+        from autourdf_tpu.config import ROBOTS, PipelineConfig, RobotConfig
+        from autourdf_tpu.io.ply import write_ply
+        from autourdf_tpu.workflow import run_registration
+
+        frames = np.asarray(hinge_frames(num_frames=3, angle_step=0.15))
+        rng = np.random.default_rng(0)
+        raw = str(tmp_path / "data" / "raw" / "ragged2" / "4_deg_20_cams")
+        # seq 0 frame 0 SMALLER than seq 1 frame 0 -> triggers the bug
+        counts = [[300, 380, 340], [400, 360, 390]]
+        for s in range(2):
+            for t in range(3):
+                d = os.path.join(raw, f"V{s:04}", f"{t:04}")
+                os.makedirs(d, exist_ok=True)
+                sel = rng.choice(len(frames[t]), counts[s][t], replace=False)
+                write_ply(os.path.join(d, "robot.ply"), frames[t][sel])
+
+        ROBOTS["ragged2"] = RobotConfig(
+            name="ragged2", num_seg=4, dof=1, gt_urdf="unused.urdf")
+        cfg = PipelineConfig(robot="ragged2",
+                             data_root=str(tmp_path / "data"),
+                             num_videos=2, epochs=60)
+        stats = run_registration(cfg, chamfer_backend="xla", verbose=False)
+        for loss in stats["final_losses"]:
+            assert loss < 0.1, stats["final_losses"]
+
     def test_moving_cluster_follows_arm(self):
         # clusters assigned to the rotating arm must actually move
         frames = hinge_frames(num_frames=3, angle_step=0.25)
