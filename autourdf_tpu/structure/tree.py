@@ -119,42 +119,62 @@ def revolute_consistency_matrix(
     between each sample axis and the sign-aligned principal axis — the
     same statistic that separates the ur5 wrist mis-ordering (38 deg for
     the forearm->wrist2 composite vs <=11 deg for every true joint).
+
+    The parent-motion-cancelled screw of the pair over one stride
+    simplifies exactly to ``rel(t0)^-1 rel(t1)`` with
+    ``rel(t) = M_i(t)^-1 M_j(t)`` (see joints/screw.py
+    screw_axes_from_pose_series for the long form), so the whole matrix
+    vectorizes: one batched rotvec over all pairs x samples instead of
+    O(L^2 * samples) per-matrix jax dispatches (19-link pxs: seconds,
+    not ~45 minutes).
     """
-    from ..joints.screw import (
-        _principal_axis,
-        filter_screws,
-        screw_axes_from_pose_series,
-    )
+    from scipy.spatial.transform import Rotation as ScipyRot
+
+    from ..core.quat_np import pose_to_matrix_np
 
     interval = max(1, min(interval, num_steps // 2))
     L = len(groups)
+    S = len(cm_list)
     series = _link_pose_series(cm_list, groups, num_steps)
+    M = np.zeros((S, L, num_steps, 4, 4))
+    for s in range(S):
+        for g in range(L):
+            for t in range(num_steps):
+                M[s, g, t] = pose_to_matrix_np(*series[s][g][t])
+
+    # rel[s, i, j, t] = M_i(t)^-1 M_j(t)
+    Minv = np.linalg.inv(M)
+    rel = np.einsum("sitab,sjtbc->sijtac", Minv, M)
+    t0 = np.arange(num_steps - interval)
+    # delta[s, i, j, k] = rel(t0_k)^-1 rel(t0_k + interval)
+    delta = np.einsum("sijkba,sijkbc->sijkac",
+                      rel[:, :, :, t0], rel[:, :, :, t0 + interval])
+    P = len(t0)
+    rots = delta[..., :3, :3].reshape(-1, 3, 3)
+    w = ScipyRot.from_matrix(rots).as_rotvec().reshape(S, L, L, P, 3)
+    ang = np.linalg.norm(w, axis=-1)                      # (S, L, L, P)
+    axes = w / np.maximum(ang[..., None], 1e-12)
+
+    # collapse (S, P) sample dims; weight by angle, filter degenerates
+    axes = np.moveaxis(axes, 0, 2).reshape(L, L, S * P, 3)
+    ang = np.moveaxis(ang, 0, 2).reshape(L, L, S * P)
+    valid = ang > 1e-4
+
     D = np.zeros((L, L))
     for i in range(L):
         for j in range(i + 1, L):
-            all_axes, all_angles = [], []
-            for s in range(len(cm_list)):
-                for a in range(interval):
-                    steps = list(range(a, num_steps, interval))
-                    pp = [series[s][i][t] for t in steps]
-                    pc = [series[s][j][t] for t in steps]
-                    axes, angles, pts = screw_axes_from_pose_series(pp, pc)
-                    kept, _ = filter_screws(axes, angles, pts)
-                    kept_ang = [ang for ax, ang in zip(axes, angles)
-                                if any(ax is k for k in kept)]
-                    all_axes.extend(kept)
-                    all_angles.extend(kept_ang)
-            if not all_axes:
+            v = valid[i, j]
+            if not v.any():
                 D[i, j] = D[j, i] = np.pi
                 continue
-            pa = _principal_axis(all_axes)
-            w = np.asarray(all_angles)
-            dev = np.asarray([
-                np.arccos(min(abs(float(
-                    ax / max(np.linalg.norm(ax), 1e-12) @ pa)), 1.0))
-                for ax in all_axes
-            ])
-            D[i, j] = D[j, i] = float(np.sum(dev * w) / max(np.sum(w), 1e-12))
+            A = axes[i, j][v]
+            wgt = ang[i, j][v]
+            ref = A[0]
+            A = np.where((A @ ref)[:, None] < 0, -A, A)
+            U, _, _ = np.linalg.svd(A.T, full_matrices=False)
+            pa = U[:, 0]
+            dev = np.arccos(np.clip(np.abs(A @ pa), 0.0, 1.0))
+            D[i, j] = D[j, i] = float(np.sum(dev * wgt) / max(np.sum(wgt), 1e-12))
     return D
 
 
