@@ -110,9 +110,15 @@ def load_offset(raw_dir: str) -> np.ndarray:
     simulated step/cams level is absent (mlp_reg.py:424-426)."""
     import glob
 
-    seqs = sorted(glob.glob(os.path.join(raw_dir, "*/")))
+    seqs = [d for d in sorted(glob.glob(os.path.join(raw_dir, "*/")))
+            if os.path.exists(os.path.join(d, "0000", "joint_cfg.txt"))]
     if not seqs:
-        seqs = sorted(glob.glob(os.path.join(os.path.dirname(raw_dir), "*/")))
+        seqs = [d for d in sorted(glob.glob(
+                    os.path.join(os.path.dirname(raw_dir), "*/")))
+                if os.path.exists(os.path.join(d, "0000", "joint_cfg.txt"))]
+    if not seqs:
+        raise FileNotFoundError(
+            f"no sequence with 0000/joint_cfg.txt under {raw_dir} or its parent")
     cfg = os.path.join(seqs[0], "0000", "joint_cfg.txt")
     vals = []
     for line in open(cfg):

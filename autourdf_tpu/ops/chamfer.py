@@ -92,7 +92,10 @@ def chamfer_distance(
     Forward-only evaluations read the loss straight off the kernel's
     min-distance outputs (no neighbor gather: measured 118 us vs 198 us
     at 5000^2 on v5e); the gather + rebuild runs only inside the custom
-    VJP's backward, where its value feeds the subgradient.
+    VJP's backward, where its value feeds the subgradient.  The custom
+    VJP supports reverse-mode AD only (jax.grad / value_and_grad — all
+    in-tree consumers); for forward-mode (jvp/jacfwd) compose
+    nn_search_bidirectional + chamfer_from_indices manually.
     """
     if y.shape[0] >= AUTO_SHARD_MIN_M:
         mesh = _active_sp_mesh()

@@ -84,10 +84,13 @@ VMEM_BUDGET = 12 * 1024 * 1024
 def _nn_pallas(x: jax.Array, y: jax.Array, norm: int, tx: int, ty: int, interpret: bool):
     yp = pad_points(y, ty)
     mp = yp.shape[0]
-    # Keep the (TX, M) distance block within the VMEM budget.
-    while tx > 8 and tx * mp * 4 > VMEM_BUDGET:
+    # Keep the (TX, M) distance block plus the resident (3, M) reference
+    # block within the VMEM budget (the y block does not shrink with tx,
+    # so past ~380k reference points the only option is the XLA fallback).
+    y_bytes = 3 * mp * 4
+    while tx > 8 and tx * mp * 4 + y_bytes > VMEM_BUDGET:
         tx //= 2
-    if tx * mp * 4 > VMEM_BUDGET:  # reference cloud too large for VMEM
+    if tx * mp * 4 + y_bytes > VMEM_BUDGET:  # cloud too large for VMEM
         return _nn_xla(x, y, norm)
     n = x.shape[0]
     xp = pad_points(x, tx)
@@ -163,15 +166,17 @@ def _nn_bidir_kernel(x_ref, yt_ref, dist_ref, idx_ref, cmin_ref, carg_ref,
 
 
 def _bidir_vmem_ok(n: int, m: int, tx: int) -> bool:
-    """The distance block AND the (tiles, M) column outputs must fit VMEM;
-    unlike the unidirectional kernel, shrinking tx grows the column blocks,
-    so past a point the only option is the two-pass fallback."""
+    """The distance block, the (3, M) reference block, AND the (tiles, M)
+    column outputs must fit VMEM; unlike the unidirectional kernel,
+    shrinking tx grows the column blocks, so past a point the only option
+    is the two-pass fallback."""
     np_ = _round_up(max(n, 1), tx)
     mp = _round_up(max(m, 1), 512)
     num_tiles = np_ // tx
     acc_bytes = tx * mp * 4
     col_bytes = 2 * num_tiles * mp * 4
-    return acc_bytes + col_bytes <= VMEM_BUDGET
+    y_bytes = 3 * mp * 4
+    return acc_bytes + col_bytes + y_bytes <= VMEM_BUDGET
 
 
 @functools.partial(jax.jit, static_argnames=("norm", "tx", "interpret"))

@@ -115,7 +115,10 @@ def sharded_chamfer(
         ys = jnp.pad(ys, ((0, m_pad - m), (0, 0)), constant_values=PAD_COORD)
     yw = jnp.arange(m_pad) < m
     if y_mask is not None:
-        yw = yw & jnp.pad(y_mask, (0, m_pad - m), constant_values=False)
+        # accept bool OR float masks, like the single-chip path
+        ym_b = jnp.pad(y_mask.astype(bool), (0, m_pad - m),
+                       constant_values=False)
+        yw = yw & ym_b
     yw = yw.astype(jnp.float32)
 
     @functools.partial(

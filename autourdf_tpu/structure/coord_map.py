@@ -183,6 +183,32 @@ class CoordMap:
         return _pairwise_norm(s)
 
 
+_FRAME_DIST_JIT = []
+
+
+def _carried_frame_dist(carried, cloud):
+    """Mean NN distance of each (K, K, P) carried point set to the cloud.
+
+    The jitted callable is created once and reused so per-sequence /
+    per-frame calls with equal shapes share one compiled kernel (a fresh
+    inner closure per call would re-trace every time)."""
+    if not _FRAME_DIST_JIT:
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.knn import nn_search
+
+        @jax.jit
+        def run(carried, cloud):
+            K, K2, P = carried.shape[:3]
+            q = carried.reshape(-1, 3)
+            d, _ = nn_search(q, cloud, norm=2)
+            return jnp.sqrt(jnp.maximum(d, 0.0)).reshape(K, K2, P).mean(-1)
+
+        _FRAME_DIST_JIT.append(run)
+    return _FRAME_DIST_JIT[0](carried, cloud)
+
+
 def swap_consistency_map(
     cm: CoordMap,
     samples_per_cluster: int = 64,
@@ -242,11 +268,7 @@ def swap_consistency_map(
     if clouds is None:
         raise ValueError("swap_consistency_map needs CoordMap.raw_clouds")
 
-    @jax.jit
-    def frame_dist(carried, cloud):
-        q = carried.reshape(-1, 3)
-        d, _ = nn_search(q, cloud, norm=2)
-        return jnp.sqrt(jnp.maximum(d, 0.0)).reshape(K, K, P).mean(-1)
+    frame_dist = _carried_frame_dist
 
     for t in range(1, T):
         Rt = rel[t, :, :3, :3].astype(np.float32)   # (K, 3, 3)

@@ -48,6 +48,41 @@ def build_link_graph(groups: list[set[int]], g0: nx.Graph) -> list[LinkNode]:
     return links
 
 
+def _assign_tree_ids(links: list[LinkNode], cm: CoordMap) -> list[LinkNode]:
+    """Root pick (min total movement of the mean 7-D coordinate, as the
+    reference) + BFS parent/tree-id assignment over LinkNode adjacency.
+    Shared by the proximity and motion trees so the arbitration between
+    them compares topologies, never bookkeeping."""
+    for link in links:
+        centers = np.mean(cm.coords[:, sorted(link.cluster_idx), :], axis=1)
+        link.movement = float(
+            np.sum(np.linalg.norm(np.diff(centers, axis=0), axis=1)))
+    root = min(links, key=lambda l: l.movement)
+    root.parent_id = None
+    root.tree_id = 0
+    tree_id = 1
+    layer = [root]
+    visited = {root.id}
+    by_id = {l.id: l for l in links}
+    while layer:
+        nxt = []
+        for cur in layer:
+            children = cur.connected_links - (
+                {cur.parent_id} if cur.parent_id is not None else set())
+            for cid in sorted(children):
+                if cid in visited:
+                    continue
+                child = by_id[cid]
+                child.parent_id = cur.id
+                child.tree_id = tree_id
+                tree_id += 1
+                visited.add(cid)
+                nxt.append(child)
+        layer = nxt
+    return sorted(links, key=lambda l: (l.tree_id if l.tree_id is not None
+                                        else 1 << 30))
+
+
 def kinematics_tree(cm: CoordMap, groups: list[set[int]], g0: nx.Graph) -> list[LinkNode]:
     links = build_link_graph(groups, g0)
 
@@ -61,35 +96,9 @@ def kinematics_tree(cm: CoordMap, groups: list[set[int]], g0: nx.Graph) -> list[
         # continues; BFS below still yields a spanning tree of reachables)
         pass
 
-    # root: minimum total movement of the mean 7-D coordinate (note: the
-    # reference includes the quaternion components in this norm)
-    for link in links:
-        centers = np.mean(cm.coords[:, sorted(link.cluster_idx), :], axis=1)
-        link.movement = float(np.sum(np.linalg.norm(np.diff(centers, axis=0), axis=1)))
-    links_by_movement = sorted(links, key=lambda l: l.movement)
-
-    root = links_by_movement[0]
-    root.parent_id = None
-    root.tree_id = 0
-    tree_id = 1
-    layer = [root]
-    visited = {root.id}
-    while layer:
-        nxt = []
-        for cur in layer:
-            children = cur.connected_links - ({cur.parent_id} if cur.parent_id is not None else set())
-            for cid in sorted(children):
-                if cid in visited:
-                    continue
-                child = next(l for l in links if l.id == cid)
-                child.parent_id = cur.id
-                child.tree_id = tree_id
-                tree_id += 1
-                visited.add(cid)
-                nxt.append(child)
-        layer = nxt
-
-    return sorted(links, key=lambda l: (l.tree_id if l.tree_id is not None else 1 << 30))
+    # root + BFS ids (note: the reference's movement norm includes the
+    # quaternion components)
+    return _assign_tree_ids(links, cm)
 
 
 # ---------------------------------------------------------------------------
@@ -218,38 +227,10 @@ def motion_tree(
             G.add_edge(a, b, weight=float(W[a, b]))
     mst = nx.minimum_spanning_tree(G)
 
-    # rebuild LinkNode adjacency from the motion MST, then reuse the
-    # reference's root pick + BFS by faking a cluster graph whose edges
-    # connect one representative cluster per MST link edge
+    # rebuild LinkNode adjacency from the motion MST, then the shared
+    # root pick + BFS id assignment
     links = [LinkNode(id=i, cluster_idx=set(g)) for i, g in enumerate(groups)]
     for a, b in mst.edges:
         links[a].connected_links.add(b)
         links[b].connected_links.add(a)
-
-    for link in links:
-        centers_t = np.mean(cm.coords[:, sorted(link.cluster_idx), :], axis=1)
-        link.movement = float(
-            np.sum(np.linalg.norm(np.diff(centers_t, axis=0), axis=1)))
-    root = min(links, key=lambda l: l.movement)
-    root.parent_id = None
-    root.tree_id = 0
-    tree_id = 1
-    layer = [root]
-    visited = {root.id}
-    while layer:
-        nxt = []
-        for cur in layer:
-            children = cur.connected_links - (
-                {cur.parent_id} if cur.parent_id is not None else set())
-            for cid in sorted(children):
-                if cid in visited:
-                    continue
-                child = links[cid]
-                child.parent_id = cur.id
-                child.tree_id = tree_id
-                tree_id += 1
-                visited.add(cid)
-                nxt.append(child)
-        layer = nxt
-    return sorted(links, key=lambda l: (l.tree_id if l.tree_id is not None
-                                        else 1 << 30))
+    return _assign_tree_ids(links, cm)

@@ -91,6 +91,16 @@ def load_raw_sequences_padded(
             if os.path.exists(ply):
                 frames.append(read_ply(ply))
         raw.append(frames)
+    lengths = {len(seq) for seq in raw}
+    if len(lengths) > 1:
+        # sequences with differing frame counts (an aborted capture):
+        # truncate to the shortest rather than padding whole frames —
+        # an all-invalid frame would still be "registered" and saved as
+        # an empty cloud that breaks downstream CoordMap construction
+        t_min = min(lengths)
+        print(f"[load] warning: sequence lengths differ {sorted(lengths)}; "
+              f"truncating all to {t_min} frames")
+        raw = [seq[:t_min] for seq in raw]
     counts = {len(f) for seq in raw for f in seq}
     if len(counts) == 1:
         return names, np.stack([np.stack(seq) for seq in raw]), None
@@ -187,9 +197,16 @@ def run_registration(
         lp = np.asarray(result.local_points[s])
         lb = np.asarray(result.labels[s])
         if masks is not None:
-            # drop sentinel-padded rows so downstream link clouds stay clean
-            lp = [lp[t][masks[s, t]] for t in range(lp.shape[0])]
-            lb = [lb[t][masks[s, t]] for t in range(len(lb))]
+            # drop sentinel-padded rows so downstream link clouds stay
+            # clean.  Frame 0 of EVERY sequence is the shared init
+            # (sequence 0's frame-0 segmentation), so its rows are
+            # governed by the init's own mask — this sequence's masks[s, 0]
+            # marks a different row set and would keep 1e6 sentinels /
+            # drop valid rows whenever the frame-0 counts differ.
+            row_mask = [masks[0, 0]] + [masks[s, t]
+                                        for t in range(1, lp.shape[0])]
+            lp = [lp[t][row_mask[t]] for t in range(lp.shape[0])]
+            lb = [lb[t][row_mask[t]] for t in range(len(lb))]
         save_registration(
             save_dir,
             np.asarray(result.matrices[s]),
@@ -235,19 +252,25 @@ def build_coord_maps(cfg: PipelineConfig, num_videos: int | None = None,
     return cms, part_dirs
 
 
-def _select_tree_by_chain_fit(cfg, candidates: dict, cms, num_steps: int,
-                              end_video: int | None, verbose: bool,
+def _load_refine_frames(cfg, end_video):
+    """Raw frames + masks sliced to the build window (shared by the tree
+    probe and the final chain refinement — load the PLYs once)."""
+    _, frames, fmasks = load_raw_sequences_padded(
+        cfg.raw_dir(), end_video or cfg.num_videos)
+    frames = frames[:, cfg.start_steps:cfg.end_steps]
+    if fmasks is not None:
+        fmasks = fmasks[:, cfg.start_steps:cfg.end_steps]
+    return frames, fmasks
+
+
+def _select_tree_by_chain_fit(candidates: dict, cms, frames, fmasks,
+                              num_steps: int, verbose: bool,
                               probe_steps: int = 100):
     """Pick the tree whose 1-DoF-per-edge chain model best fits the raw
     clouds (short probe fit per candidate; see run_build_urdf)."""
     from .joints import estimate_joints_from_tree
     from .joints.chain import refine_chain
 
-    _, frames, fmasks = load_raw_sequences_padded(
-        cfg.raw_dir(), end_video or cfg.num_videos)
-    frames = frames[:, cfg.start_steps:cfg.end_steps]
-    if fmasks is not None:
-        fmasks = fmasks[:, cfg.start_steps:cfg.end_steps]
     best_name, best_links, best_loss = None, None, np.inf
     for name, links in candidates.items():
         joints = estimate_joints_from_tree(links, cms, 0, num_steps, interval=4)
@@ -339,6 +362,7 @@ def run_build_urdf(
         dof = len(groups) - 1
 
     num_steps = cfg.end_steps - cfg.start_steps
+    refine_frames = None
     if tree == "motion":
         from .structure import motion_tree
 
@@ -354,9 +378,11 @@ def run_build_urdf(
             # gripper class of cases) — let the observations decide: a
             # composite joint modeled as one revolute cannot track the
             # clouds, so the short chain fit's loss picks the true tree
+            if refine_frames is None:
+                refine_frames = _load_refine_frames(cfg, end_video)
             links = _select_tree_by_chain_fit(
-                cfg, {"motion": links, "proximity-mst": links_mst},
-                cms, num_steps, end_video, verbose,
+                {"motion": links, "proximity-mst": links_mst},
+                cms, refine_frames[0], refine_frames[1], num_steps, verbose,
             )
     else:
         g0 = cluster_mst(cms[0])
@@ -369,12 +395,9 @@ def run_build_urdf(
     if refine == "chain" and joints:
         from .joints.chain import refine_chain
 
-        _, frames, fmasks = load_raw_sequences_padded(
-            cfg.raw_dir(), end_video or cfg.num_videos
-        )
-        frames = frames[:, cfg.start_steps : cfg.end_steps]
-        if fmasks is not None:
-            fmasks = fmasks[:, cfg.start_steps : cfg.end_steps]
+        if refine_frames is None:
+            refine_frames = _load_refine_frames(cfg, end_video)
+        frames, fmasks = refine_frames
         joints, _ = refine_chain(
             links, joints, cms, frames, steps=refine_steps,
             points_per_link=1024, frame_masks=fmasks, verbose=verbose,

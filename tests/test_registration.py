@@ -250,6 +250,20 @@ class TestSequencePipeline:
         for loss in stats["final_losses"]:
             assert loss < 0.1, stats["final_losses"]
 
+        # saved frame-0 artifacts are the SHARED init -> their row count is
+        # sequence 0's frame-0 count for every sequence (not the sequence's
+        # own), and no sentinel coordinates leak into the saved clouds
+        from autourdf_tpu.io.artifacts import load_registration
+
+        for s in range(2):
+            art = load_registration(
+                os.path.join(str(tmp_path / "data"), "part",
+                             "ragged2_4_seg", "4_deg_20_cams", f"V{s:04}"))
+            assert len(art.cluster_points[0]) == counts[0][0]
+            for t in range(1, 3):
+                assert len(art.cluster_points[t]) == counts[s][t]
+                assert np.abs(art.cluster_points[t]).max() < 1e5
+
     def test_moving_cluster_follows_arm(self):
         # clusters assigned to the rotating arm must actually move
         frames = hinge_frames(num_frames=3, angle_step=0.25)
