@@ -134,7 +134,13 @@ def compare_joints(
         if n > 1 and np_pred > 1:
             gi_d = np.arange(n)[:, None] / (n - 1)
             pi_d = np.arange(np_pred)[None, :] / (np_pred - 1)
-            cost = cost + 1e-3 * np.abs(gi_d - pi_d)
+            # the epsilon scales with the spread of the real (finite,
+            # sub-sentinel) costs so the tie-breaker stays three orders of
+            # magnitude below genuine geometric distinctions even when the
+            # whole cost matrix is tightly grouped (sub-mm differences)
+            real = cost[cost < 1e5]
+            spread = float(real.max() - real.min()) if real.size else 1.0
+            cost = cost + 1e-3 * max(spread, 1e-9) * np.abs(gi_d - pi_d)
         rows, cols = linear_sum_assignment(cost)
         joint_map = np.full(n, -1, dtype=int)
         joint_map[rows] = cols

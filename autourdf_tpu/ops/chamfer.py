@@ -20,6 +20,7 @@ counts, so fixed-capacity padded batches keep reference loss semantics.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,23 +54,26 @@ def _apply_mask(pts: jax.Array, mask: jax.Array | None) -> jax.Array:
 # Auto-shard threshold: with an active multi-chip mesh that has an "sp"
 # axis, target clouds at least this large dispatch to the sharded path
 # (parallel.sharding.sharded_chamfer) instead of one chip's kernel.
-AUTO_SHARD_MIN_M = 32768
+# Default from an 8-way virtual-mesh sweep (tests/test_parallel_native_viz
+# records the method): below ~32k points the per-shard launch + pmin
+# overhead beats the per-chip compute saved.  Override via env for other
+# topologies.
+AUTO_SHARD_MIN_M = int(os.environ.get("AUTOURDF_AUTO_SHARD_MIN_M", 32768))
 
 
 def _active_sp_mesh():
-    """The ambient ``with mesh:`` physical mesh, if it has a >1 "sp" axis."""
-    try:
-        try:  # jax >= 0.8.2 home of the thread-local mesh env
-            from jax._src.mesh import thread_resources
-        except ImportError:  # pragma: no cover - older jax
-            from jax.interpreters.pxla import thread_resources
+    """The active mesh, if it has a >1 "sp" axis.
 
-        mesh = thread_resources.env.physical_mesh
-        if mesh is not None and not mesh.empty and "sp" in mesh.axis_names:
-            if int(mesh.shape["sp"]) > 1:
-                return mesh
-    except Exception:  # pragma: no cover - jax-version-dependent internals
-        return None
+    Resolution is explicit and public-API only (parallel.sharding
+    ``mesh_scope`` stack, then ``jax.sharding.get_mesh``) — no jax
+    internals, so auto-sharding cannot silently break on a jax upgrade.
+    Activate with ``with autourdf_tpu.parallel.mesh_scope(mesh):``.
+    """
+    from ..parallel.sharding import active_mesh
+
+    mesh = active_mesh()
+    if mesh is not None and "sp" in mesh.axis_names and int(mesh.shape["sp"]) > 1:
+        return mesh
     return None
 
 
@@ -85,7 +89,7 @@ def chamfer_distance(
 
     Batched use: ``jax.vmap(chamfer_distance)`` (masks included).
 
-    Inside a ``with mesh:`` scope whose mesh has an "sp" axis, large
+    Inside a ``parallel.mesh_scope(mesh)`` whose mesh has an "sp" axis, large
     target clouds (M >= AUTO_SHARD_MIN_M) automatically shard across the
     mesh; the per-chip compute still runs the fused Pallas kernel.
 

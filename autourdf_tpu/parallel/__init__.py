@@ -1,5 +1,7 @@
 from .sharding import (
+    active_mesh,
     make_mesh,
+    mesh_scope,
     register_sequences_sharded,
     replicate,
     shard_sequences,
@@ -8,6 +10,8 @@ from .sharding import (
 
 __all__ = [
     "make_mesh",
+    "mesh_scope",
+    "active_mesh",
     "shard_sequences",
     "replicate",
     "register_sequences_sharded",

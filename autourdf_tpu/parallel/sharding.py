@@ -39,6 +39,59 @@ def make_mesh(axis_sizes: Sequence[int], axis_names: Sequence[str]) -> Mesh:
     return Mesh(devices, tuple(axis_names))
 
 
+# ---------------------------------------------------------------------------
+# Ambient-mesh registry (explicit opt-in; no jax internals).
+#
+# ops.chamfer auto-dispatches large clouds to the sharded path when a
+# multi-chip mesh with an "sp" axis is active.  "Active" is resolved, in
+# order, from (1) this package's own explicit ``mesh_scope`` stack and
+# (2) jax's public ambient mesh (``jax.sharding.set_mesh`` /
+# ``jax.sharding.get_mesh``).  Earlier rounds probed
+# ``jax._src.mesh.thread_resources`` to also catch the legacy
+# ``with mesh:`` resource env; that private probe was removed — a jax
+# upgrade could silently disable auto-sharding.  ``with mesh_scope(m):``
+# also enters ``with m:``, so callers migrating from the legacy idiom
+# keep identical pjit semantics.
+
+_MESH_STACK: list[Mesh] = []
+
+
+class mesh_scope:
+    """``with mesh_scope(mesh):`` — activate a mesh for auto-sharding.
+
+    Registers the mesh for :func:`active_mesh` AND enters the mesh's own
+    context manager (the legacy pjit resource env), so it is a drop-in
+    replacement for ``with mesh:``.
+    """
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def __enter__(self) -> Mesh:
+        _MESH_STACK.append(self.mesh)
+        self.mesh.__enter__()
+        return self.mesh
+
+    def __exit__(self, *exc):
+        self.mesh.__exit__(*exc)
+        popped = _MESH_STACK.pop()
+        assert popped is self.mesh
+        return False
+
+
+def active_mesh() -> Mesh | None:
+    """The innermost explicitly-activated mesh, else jax's public ambient
+    mesh (``jax.sharding.set_mesh``), else None."""
+    if _MESH_STACK:
+        return _MESH_STACK[-1]
+    get = getattr(jax.sharding, "get_mesh", None)
+    if get is not None:
+        m = get()
+        if isinstance(m, Mesh) and not m.empty:
+            return m
+    return None
+
+
 def shard_sequences(mesh: Mesh, tree, axis_name: str = "dp"):
     """Place a pytree of (S, ...) arrays with the sequence axis sharded."""
     sharding = NamedSharding(mesh, P(axis_name))

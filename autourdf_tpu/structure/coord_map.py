@@ -321,6 +321,11 @@ def refine_groups_by_carry(
     out = [set(g) for g in groups]
     for j in range(K):
         cur = labels[j]
+        if cur < 0:
+            # cluster not covered by any group (e.g. dropped upstream) —
+            # there is no "current" link to score against; leave it out
+            # rather than silently indexing out[-1]
+            continue
         if len(out[cur]) <= 1:
             # a singleton link has no other member to score j against —
             # and dissolving a link is a structure change, not a boundary

@@ -170,11 +170,12 @@ def revolute_consistency_matrix(
     valid = ang > 1e-4
 
     D = np.zeros((L, L))
+    no_sample = []
     for i in range(L):
         for j in range(i + 1, L):
             v = valid[i, j]
             if not v.any():
-                D[i, j] = D[j, i] = np.pi
+                no_sample.append((i, j))
                 continue
             A = axes[i, j][v]
             wgt = ang[i, j][v]
@@ -184,6 +185,17 @@ def revolute_consistency_matrix(
             pa = U[:, 0]
             dev = np.arccos(np.clip(np.abs(A @ pa), 0.0, 1.0))
             D[i, j] = D[j, i] = float(np.sum(dev * wgt) / max(np.sum(wgt), 1e-12))
+    # pairs with zero valid rotation samples (unexcited links) carry no
+    # consistency evidence either way: give them the MEDIAN valid misfit
+    # (neutral) rather than the maximal pi penalty, so the proximity term
+    # alone decides those edges instead of a fixed 180-deg handicap that
+    # can outweigh lambda_prox for distant true neighbors
+    if no_sample:
+        iu = np.triu_indices(L, 1)
+        sampled = [D[i, j] for i, j in zip(*iu) if (i, j) not in set(no_sample)]
+        fill = float(np.median(sampled)) if sampled else np.pi
+        for i, j in no_sample:
+            D[i, j] = D[j, i] = fill
     return D
 
 

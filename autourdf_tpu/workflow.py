@@ -192,10 +192,19 @@ def run_registration(
     with telem.stage("register", robot=cfg.robot, frames=frames_registered,
                      seconds_compute=round(elapsed, 3)):
         pass
+    # one bulk device->host transfer for the whole result: per-sequence
+    # ``np.asarray(result.local_points[s])`` dispatches a fresh slice
+    # program per fetch, and over the tunneled device runtime those
+    # post-run dispatches have been observed to wedge indefinitely;
+    # whole-array fetches (what bench.py does) are reliable
+    all_matrices = np.asarray(result.matrices)
+    all_points = np.asarray(result.local_points)
+    all_labels = np.asarray(result.labels)
+    all_losses = np.asarray(result.losses)
     for s, name in enumerate(names):
         save_dir = os.path.join(cfg.part_dir(), name)
-        lp = np.asarray(result.local_points[s])
-        lb = np.asarray(result.labels[s])
+        lp = all_points[s]
+        lb = all_labels[s]
         if masks is not None:
             # drop sentinel-padded rows so downstream link clouds stay
             # clean.  Frame 0 of EVERY sequence is the shared init
@@ -209,17 +218,17 @@ def run_registration(
             lb = [lb[t][row_mask[t]] for t in range(len(lb))]
         save_registration(
             save_dir,
-            np.asarray(result.matrices[s]),
+            all_matrices[s],
             lp,
             lb,
-            np.asarray(result.losses[s]),
+            all_losses[s],
         )
     return {
         "names": names,
         "seconds": elapsed,
         "frames_per_second": frames_registered / elapsed,
-        "final_losses": np.asarray(result.losses[:, -1]).tolist(),
-        "mean_loss": float(np.mean(np.asarray(result.losses))),
+        "final_losses": all_losses[:, -1].tolist(),
+        "mean_loss": float(np.mean(all_losses)),
     }
 
 
@@ -285,6 +294,16 @@ def _select_tree_by_chain_fit(candidates: dict, cms, frames, fmasks,
             print(f"[urdf] tree candidate {name}: probe chain loss {loss:.5f}")
         if loss < best_loss:
             best_name, best_links, best_loss = name, links, loss
+    if best_links is None:
+        # every candidate produced zero joints (all probe losses inf) —
+        # fall back to the first candidate (proximity MST) so downstream
+        # gets a tree rather than a None crash; joint estimation will
+        # surface the real failure with a meaningful error
+        best_name = next(iter(candidates))
+        best_links = candidates[best_name]
+        if verbose:
+            print("[urdf] WARNING: no tree candidate yielded joints; "
+                  f"falling back to {best_name}")
     if verbose:
         print(f"[urdf] selected {best_name} tree")
     return best_links

@@ -58,9 +58,35 @@ class TestSharding:
         np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_1), atol=1e-6)
         np.testing.assert_allclose(np.asarray(gy_s), np.asarray(gy_1), atol=1e-6)
 
+    def test_mesh_scope_resolution(self):
+        """active_mesh() must resolve both activation paths — this test
+        failing means chamfer auto-sharding silently broke (the loud
+        version-skew guard VERDICT r2 asked for)."""
+        from autourdf_tpu.parallel import active_mesh, make_mesh, mesh_scope
+
+        assert active_mesh() is None
+        mesh = make_mesh((8,), ("sp",))
+        with mesh_scope(mesh) as m:
+            assert m is mesh
+            assert active_mesh() is mesh
+        assert active_mesh() is None
+        # jax's public ambient-mesh API is the second resolution path
+        set_mesh = getattr(jax.sharding, "set_mesh", None)
+        if set_mesh is not None:
+            with set_mesh(mesh):
+                assert active_mesh() is not None
+                assert active_mesh().axis_names == ("sp",)
+            assert active_mesh() is None
+        # nested scopes: innermost wins
+        dp = make_mesh((8,), ("dp",))
+        with mesh_scope(mesh):
+            with mesh_scope(dp):
+                assert active_mesh() is dp
+            assert active_mesh() is mesh
+
     def test_chamfer_auto_shards_in_mesh_scope(self, rng, monkeypatch):
         import autourdf_tpu.ops.chamfer as cham_mod
-        from autourdf_tpu.parallel import make_mesh
+        from autourdf_tpu.parallel import make_mesh, mesh_scope
 
         # drop the threshold so a small cloud triggers the sharded path
         monkeypatch.setattr(cham_mod, "AUTO_SHARD_MIN_M", 128)
@@ -78,7 +104,7 @@ class TestSharding:
         y = jnp.asarray(rng.normal(size=(256, 3)), jnp.float32)
         baseline = float(cham_mod.chamfer_distance(x, y, backend="xla"))
         mesh = make_mesh((8,), ("sp",))
-        with mesh:
+        with mesh_scope(mesh):
             auto = float(cham_mod.chamfer_distance(x, y, backend="xla"))
         assert calls, "mesh-scoped large chamfer did not dispatch to the sharded path"
         np.testing.assert_allclose(auto, baseline, rtol=1e-5)
@@ -89,7 +115,11 @@ class TestSharding:
 
     def test_dp_registration_matches_unsharded(self, rng):
         from autourdf_tpu.models import PoseRegressor, init_params
-        from autourdf_tpu.parallel import make_mesh, register_sequences_sharded
+        from autourdf_tpu.parallel import (
+            make_mesh,
+            mesh_scope,
+            register_sequences_sharded,
+        )
         from autourdf_tpu.registration import (
             RegistrationConfig,
             SegmentInit,
@@ -121,7 +151,7 @@ class TestSharding:
 
         res_plain = register_sequences_batched(model, cfg, sp, ap, init, frames)
         mesh = make_mesh((4,), ("dp",))
-        with mesh:
+        with mesh_scope(mesh):
             res_shard = register_sequences_sharded(mesh, model, cfg, sp, ap, init, frames)
         np.testing.assert_allclose(
             np.asarray(res_plain.losses), np.asarray(res_shard.losses), atol=1e-5

@@ -160,6 +160,44 @@ class TestSequencePipeline:
             d = float(chamfer_distance(pred, frames[t], backend="xla"))
             assert d < 0.05, f"frame {t}: chamfer {d}"
 
+    def test_fused_matches_batched(self):
+        """register_sequences_fused (one compiled program, the directly-
+        attached-TPU path) must produce the same artifacts as the batched
+        per-phase-dispatch driver — identical math, different dispatch."""
+        from autourdf_tpu.registration import (
+            register_sequences_batched,
+            register_sequences_fused,
+        )
+
+        S, K, H = 2, 4, 32
+        frames = jnp.stack([
+            hinge_frames(num_frames=3, angle_step=0.10, seed=0),
+            hinge_frames(num_frames=3, angle_step=0.16, seed=0),
+        ])  # (S, T, N, 3); same frame 0 -> shared init is exact
+        init = initial_segments(jax.random.PRNGKey(0), frames[0, 0],
+                                num_seg=K, n_init=2)
+        cfg = RegistrationConfig(num_seg=K, hidden_dim=H, epochs=6,
+                                 kmeans_iters=4, chamfer_backend="xla")
+        model = PoseRegressor(mode="q", hidden_dim=H)
+
+        def mk(key):
+            _, p = init_params(key, "q", K, H)
+            return p
+
+        keys = jax.random.split(jax.random.PRNGKey(1), 2 * S)
+        sp = jax.vmap(mk)(keys[:S])
+        ap = jax.vmap(mk)(keys[S:])
+
+        res_f = register_sequences_fused(model, cfg, sp, ap, init, frames)
+        res_b = register_sequences_batched(model, cfg, sp, ap, init, frames)
+        assert res_f.matrices.shape == res_b.matrices.shape == (S, 3, K, 4, 4)
+        np.testing.assert_allclose(np.asarray(res_f.losses),
+                                   np.asarray(res_b.losses), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(res_f.matrices),
+                                   np.asarray(res_b.matrices), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(res_f.labels),
+                                      np.asarray(res_b.labels))
+
     def test_ragged_frames_masked_registration(self, tmp_path):
         """The real-scan path: ragged per-frame point counts, sentinel-padded
         with masks through the full registration driver, artifacts saved
