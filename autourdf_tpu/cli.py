@@ -29,6 +29,16 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num-step", type=int, default=10, help="frames per sequence")
     p.add_argument("--num-video", type=int, default=5, help="number of sequences")
     p.add_argument("--num-points", type=int, default=5000)
+    p.add_argument("--num-seg", type=int, default=None,
+                   help="override the registry's cluster count K (changes "
+                        "the {robot}_{K}_seg artifact paths, so pass it to "
+                        "every stage of the run)")
+    p.add_argument("--seed-mode", type=str, default="kmeans++",
+                   choices=["kmeans++", "fps"],
+                   help="frame-0 cluster seeding: kmeans++ = reference "
+                        "parity (density-proportional); fps = farthest-"
+                        "point (density-independent, guarantees small "
+                        "links get clusters)")
     p.add_argument("--parameters-json", type=str, default=None,
                    help="overlay a reference-format parameters.json")
     p.add_argument("--asset-root", type=str, default=None)
@@ -46,6 +56,8 @@ def _cfg(args) -> PipelineConfig:
         num_step=args.num_step,
         num_videos=args.num_video,
         num_points=args.num_points,
+        num_seg=args.num_seg,
+        seed_mode=args.seed_mode,
         seed=args.seed,
         rot=getattr(args, "r", "q"),
         epochs=getattr(args, "epochs", 300),

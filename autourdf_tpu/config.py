@@ -146,9 +146,15 @@ class PipelineConfig:
     # registration
     rot: str = "q"
     epochs: int = 300
+    num_seg: int | None = None   # override of the registry's per-robot K
+    seed_mode: str = "kmeans++"  # "kmeans++" (reference parity) | "fps"
     # structure / urdf
     start_steps: int = 0
     end_steps: int = 10
+
+    def num_segments(self) -> int:
+        """Effective cluster count: CLI override else the robot registry."""
+        return self.num_seg if self.num_seg else get_robot(self.robot).num_seg
 
     def raw_dir(self) -> str:
         c = get_robot(self.robot)
@@ -158,30 +164,26 @@ class PipelineConfig:
         )
 
     def part_dir(self) -> str:
-        c = get_robot(self.robot)
         return os.path.join(
-            self.data_root, "part", f"{self.robot}_{c.num_seg}_seg",
+            self.data_root, "part", f"{self.robot}_{self.num_segments()}_seg",
             f"{self.step_size_deg}_deg_{self.num_cameras}_cams",
         )
 
     def mesh_dir(self) -> str:
-        c = get_robot(self.robot)
         return os.path.join(
-            self.data_root, "mesh", f"{self.robot}_{c.num_seg}_seg",
+            self.data_root, "mesh", f"{self.robot}_{self.num_segments()}_seg",
             f"{self.step_size_deg}_deg_{self.num_cameras}_cams",
         )
 
     def urdf_path(self) -> str:
-        c = get_robot(self.robot)
         return os.path.join(
-            self.data_root, "urdf", f"{self.robot}_{c.num_seg}_seg",
+            self.data_root, "urdf", f"{self.robot}_{self.num_segments()}_seg",
             f"{self.step_size_deg}_deg_{self.num_cameras}_cams.urdf",
         )
 
     def eval_dir(self) -> str:
-        c = get_robot(self.robot)
         return os.path.join(
-            self.data_root, "evaluation", f"{self.robot}_{c.num_seg}_seg",
+            self.data_root, "evaluation", f"{self.robot}_{self.num_segments()}_seg",
             f"{self.step_size_deg}_deg_{self.num_cameras}_cams",
         )
 

@@ -20,6 +20,12 @@ import numpy as np
 from ..urdf.fk import joint_world_frames
 from ..urdf.parser import load_urdf
 
+# Chain-depth tie-breaker weight for the automatic Hungarian assignment,
+# as a fraction of the finite-cost spread (see compare_joints).  Must
+# stay far below 1 so it can only resolve geometric ties (collinear
+# joints), never override a genuine distinction.
+TIE_BREAK_SCALE = 1e-3
+
 
 def joint_error(pos_a, uv_a, pos_b, uv_b) -> tuple[float, float]:
     """(normal distance between axis lines, angle between axes in deg)."""
@@ -140,7 +146,7 @@ def compare_joints(
             # whole cost matrix is tightly grouped (sub-mm differences)
             real = cost[cost < 1e5]
             spread = float(real.max() - real.min()) if real.size else 1.0
-            cost = cost + 1e-3 * max(spread, 1e-9) * np.abs(gi_d - pi_d)
+            cost = cost + TIE_BREAK_SCALE * max(spread, 1e-9) * np.abs(gi_d - pi_d)
         rows, cols = linear_sum_assignment(cost)
         joint_map = np.full(n, -1, dtype=int)
         joint_map[rows] = cols

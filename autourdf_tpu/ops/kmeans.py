@@ -132,8 +132,30 @@ def kmeans(
     iters: int = 64,
     mask: jax.Array | None = None,
     n_init: int = 4,
+    seed_mode: str = "kmeans++",
 ) -> KMeansResult:
-    """k-means++ seeded k-means with ``n_init`` restarts, best inertia wins."""
+    """k-means with ``n_init`` restarts, best inertia wins.
+
+    ``seed_mode``:
+
+    - ``"kmeans++"`` — D^2-weighted sampling (reference parity,
+      cluster_icp.py:63-67 via sklearn).  Seeds land proportionally to
+      point density, so small-but-articulated links (solo12 shoulders,
+      allegro fingertips) can receive ZERO clusters at the default
+      budget.
+    - ``"fps"`` — farthest-point seeding: seeds spread uniformly over
+      the *surface*, independent of sampling density, so every
+      geometrically distinct part gets a seed before any dense part
+      gets its second.  Deterministic; Lloyd refinement still shapes
+      the final partition.
+    """
+    if seed_mode == "fps":
+        from .fps import farthest_point_sample
+
+        idx = farthest_point_sample(points[:, :3], k, mask)
+        init = points[idx]
+        return lloyd(points, init, iters, mask)
+
     keys = jax.random.split(key, n_init)
 
     def one(key):

@@ -48,18 +48,23 @@ def initial_segments(
     kmeans_iters: int = 64,
     n_init: int = 4,
     use_normals: bool = False,
+    seed_mode: str = "kmeans++",
 ) -> SegmentInit:
     """``use_normals`` augments the k-means features with 0.5-scaled PCA
-    normals (the reference's --normal mode, cluster_icp.py:47-63)."""
+    normals (the reference's --normal mode, cluster_icp.py:47-63).
+    ``seed_mode="fps"`` seeds density-independently (ops.kmeans docs) so
+    small links are guaranteed cluster coverage."""
     if use_normals:
         from ..ops.plane import estimate_normals
 
         normals = estimate_normals(frame0, k=30)
         feats = jnp.concatenate([frame0, 0.5 * normals], axis=-1)
-        res = kmeans(key, feats, num_seg, iters=kmeans_iters, mask=mask, n_init=n_init)
+        res = kmeans(key, feats, num_seg, iters=kmeans_iters, mask=mask,
+                     n_init=n_init, seed_mode=seed_mode)
         res = res._replace(centers=res.centers[:, :3])
     else:
-        res = kmeans(key, frame0, num_seg, iters=kmeans_iters, mask=mask, n_init=n_init)
+        res = kmeans(key, frame0, num_seg, iters=kmeans_iters, mask=mask,
+                     n_init=n_init, seed_mode=seed_mode)
     # cluster frames: identity rotation at the *mean of member points*
     # (reference recomputes the mean rather than using the k-means center —
     # identical at convergence, but keep the same definition)

@@ -148,13 +148,14 @@ def run_registration(
     S, T, N, _ = frames.shape
     if verbose:
         print(f"[register] {S} sequences x {T} frames x {N} points, "
-              f"K={robot.num_seg}, mode={cfg.rot}"
+              f"K={cfg.num_segments()}, mode={cfg.rot}"
               + (" (ragged, masked)" if masks is not None else ""))
 
     frames_j = jnp.asarray(frames)
     masks_j = jnp.asarray(masks) if masks is not None else None
     key = jax.random.PRNGKey(seed)
-    init = initial_segments(key, frames_j[0, 0], robot.num_seg, n_init=10,
+    init = initial_segments(key, frames_j[0, 0], cfg.num_segments(), n_init=10,
+                            seed_mode=cfg.seed_mode,
                             use_normals=use_normals,
                             mask=masks_j[0, 0] if masks_j is not None else None)
 
@@ -163,14 +164,14 @@ def run_registration(
             f"--epochs {cfg.epochs} must be a multiple of --corr-every {corr_every}"
         )
     reg_cfg = RegistrationConfig(
-        num_seg=robot.num_seg, mode=cfg.rot, epochs=cfg.epochs,
+        num_seg=cfg.num_segments(), mode=cfg.rot, epochs=cfg.epochs,
         chamfer_backend=chamfer_backend, mlp_icp=mlp_icp,
         use_normals=use_normals, corr_every=corr_every,
     )
     model = PoseRegressor(mode=cfg.rot, hidden_dim=512)
 
     def make_params(k):
-        _, p = init_params(k, cfg.rot, robot.num_seg, 512)
+        _, p = init_params(k, cfg.rot, cfg.num_segments(), 512)
         return p
 
     keys = jax.random.split(jax.random.PRNGKey(seed + 1), 2 * S)
