@@ -1,11 +1,13 @@
 from .sharding import (
     active_mesh,
+    chamfer_collective,
     make_mesh,
     mesh_scope,
     register_sequences_sharded,
     replicate,
     shard_sequences,
     sharded_chamfer,
+    train_step_dp_sp,
 )
 
 __all__ = [
@@ -16,4 +18,6 @@ __all__ = [
     "replicate",
     "register_sequences_sharded",
     "sharded_chamfer",
+    "chamfer_collective",
+    "train_step_dp_sp",
 ]

@@ -181,28 +181,131 @@ def sharded_chamfer(
         out_specs=P(),
     )
     def _cham(x_full, y_shard, x_weight, y_weight):
-        dx_l, ix_l, _, iy_l = nn_search_bidirectional(
-            jax.lax.stop_gradient(x_full),
-            jax.lax.stop_gradient(y_shard),
-            norm,
-            backend,
+        return chamfer_collective(
+            x_full, y_shard, x_weight, y_weight, axis_name, n_shards,
+            norm=norm, backend=backend,
         )
-        # x -> y: winner-chip selection on the stop-gradient minima, then a
-        # differentiable rebuild from the winner's gathered neighbor
-        d_local = jax.lax.stop_gradient(dx_l)
-        d_global = jax.lax.pmin(d_local, axis_name)
-        chip = jax.lax.axis_index(axis_name).astype(jnp.float32)
-        cand = jnp.where(d_local <= d_global, chip, jnp.float32(n_shards))
-        winner = jax.lax.pmin(cand, axis_name)
-        mine = (cand == winner).astype(jnp.float32)
-        d_xy = _pointwise(x_full - y_shard[ix_l], norm)
-        sum_xy = jax.lax.psum(jnp.sum(d_xy * mine * x_weight), axis_name)
-        term_xy = sum_xy / jnp.maximum(jnp.sum(x_weight), 1.0)
-
-        # y -> x: each shard against the replicated x
-        d_yx = _pointwise(y_shard - x_full[iy_l], norm)
-        sum_yx = jax.lax.psum(jnp.sum(d_yx * y_weight), axis_name)
-        cnt_yx = jax.lax.psum(jnp.sum(y_weight), axis_name)
-        return term_xy + sum_yx / jnp.maximum(cnt_yx, 1.0)
 
     return _cham(xs, ys, xw, yw)
+
+
+def _pvary_missing(a, axes):
+    """pvary ``a`` over whichever of ``axes`` it does not already vary on
+    (pvary itself rejects already-varying axes)."""
+    try:
+        vma = jax.typeof(a).vma
+    except Exception:  # non-traced / older jax: assume invariant
+        vma = ()
+    missing = tuple(ax for ax in axes if ax not in vma)
+    return jax.lax.pvary(a, missing) if missing else a
+
+
+def train_step_dp_sp(
+    mesh: Mesh,
+    model,
+    params_batch,            # (S, ...) pose-MLP params, S sequences
+    matrices_batch: jax.Array,  # (S, K, 4, 4)
+    targets: jax.Array,      # (S, M, 3) per-sequence target clouds
+    points_batch: jax.Array,  # (S, N, 3) local cluster points
+    labels_batch: jax.Array,  # (S, N)
+    num_epochs: int = 10,
+    lr: float = 2e-4,
+):
+    """One full training phase on a combined (dp, sp) mesh.
+
+    Sequences shard over "dp" (zero cross-chip traffic between them);
+    each sequence's Chamfer target shards over "sp", with the loss and
+    its gradient assembled by pmin/psum collectives over the sp rows —
+    the layout for frames too large for one chip's comfortable VMEM
+    footprint.  The optimizer math is the production train_epochs scan
+    (Adam + plateau scheduler + best-tracking), not a simplified twin.
+
+    Requires S % dp == 0 and M % sp == 0 (pad targets with the far
+    sentinel to a multiple if needed).  Returns (best_matrices (S,K,4,4),
+    best_losses (S,)).
+    """
+    from ..registration.optimizer import train_epochs, train_init
+
+    dp = int(mesh.shape["dp"])
+    sp = int(mesh.shape["sp"])
+    S, M = targets.shape[0], targets.shape[1]
+    if S % dp or M % sp:
+        raise ValueError(
+            f"need S % dp == 0 and M % sp == 0, got S={S} dp={dp} M={M} sp={sp}"
+        )
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("dp", "sp"), P("dp"), P("dp")),
+        out_specs=(P("dp"), P("dp")),
+    )
+    def step(params_b, matrices_b, target_b, points_b, labels_b):
+        def one(params, matrices, y_shard, pts, lab):
+            xw = jnp.ones((pts.shape[0],), jnp.float32)
+            yw = jnp.ones((y_shard.shape[0],), jnp.float32)
+
+            def cham(pred, tgt, pm, tm):
+                return chamfer_collective(pred, tgt, xw, yw, "sp", sp)
+
+            carry = train_init(params, matrices, lr)
+            # freshly-created carry leaves (inf/0/False scalars, scheduler
+            # and Adam state) are device-invariant; the scan body makes
+            # them dp-varying, so pre-mark every not-yet-varying leaf for
+            # shard_map's vma typing
+            carry = jax.tree.map(lambda a: _pvary_missing(a, ("dp",)), carry)
+            carry, _ = train_epochs(
+                model, carry, matrices, y_shard, pts, lab, num_epochs,
+                chamfer_fn=cham,
+            )
+            return carry.best_m, carry.best_loss
+
+        return jax.vmap(one)(params_b, matrices_b, target_b, points_b, labels_b)
+
+    return step(params_batch, matrices_batch, targets, points_batch, labels_batch)
+
+
+def chamfer_collective(
+    x_full: jax.Array,       # (N, 3) replicated across axis_name
+    y_shard: jax.Array,      # (M/shards, 3) this device's target slice
+    x_weight: jax.Array,     # (N,) replicated
+    y_weight: jax.Array,     # (M/shards,) per-shard
+    axis_name: str,
+    n_shards: int,
+    norm: int = 1,
+    backend: str = "auto",
+) -> jax.Array:
+    """Per-device Chamfer body with ``axis_name`` collectives.
+
+    Callable inside ANY shard_map whose mesh has ``axis_name`` — used by
+    :func:`sharded_chamfer` (pure sp) and :func:`train_step_dp_sp`
+    (combined dp x sp), so the two paths share one set of collective
+    semantics.  Differentiable in both inputs (winner-chip selection on
+    stop-gradient minima; see sharded_chamfer docstring).
+    """
+    from ..ops.chamfer import _pointwise
+    from ..ops.knn import nn_search_bidirectional
+
+    dx_l, ix_l, _, iy_l = nn_search_bidirectional(
+        jax.lax.stop_gradient(x_full),
+        jax.lax.stop_gradient(y_shard),
+        norm,
+        backend,
+    )
+    # x -> y: winner-chip selection on the stop-gradient minima, then a
+    # differentiable rebuild from the winner's gathered neighbor
+    d_local = jax.lax.stop_gradient(dx_l)
+    d_global = jax.lax.pmin(d_local, axis_name)
+    chip = jax.lax.axis_index(axis_name).astype(jnp.float32)
+    cand = jnp.where(d_local <= d_global, chip, jnp.float32(n_shards))
+    winner = jax.lax.pmin(cand, axis_name)
+    mine = (cand == winner).astype(jnp.float32)
+    d_xy = _pointwise(x_full - y_shard[ix_l], norm)
+    sum_xy = jax.lax.psum(jnp.sum(d_xy * mine * x_weight), axis_name)
+    term_xy = sum_xy / jnp.maximum(jnp.sum(x_weight), 1.0)
+
+    # y -> x: each shard against the replicated x
+    d_yx = _pointwise(y_shard - x_full[iy_l], norm)
+    sum_yx = jax.lax.psum(jnp.sum(d_yx * y_weight), axis_name)
+    cnt_yx = jax.lax.psum(jnp.sum(y_weight), axis_name)
+    return term_xy + sum_yx / jnp.maximum(cnt_yx, 1.0)

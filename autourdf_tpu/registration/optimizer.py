@@ -163,8 +163,14 @@ def train_epochs(
     scheduler_factor: float = 0.7,
     chamfer_backend: str = "auto",
     corr_every: int = 1,
+    chamfer_fn=None,
 ) -> tuple[TrainCarry, jax.Array]:
     """Advance the optimization by ``num_epochs``; returns (carry, losses).
+
+    ``chamfer_fn(pred, target, points_mask, target_mask) -> loss``
+    overrides the loss (corr_every == 1 only) — the hook the dp x sp
+    sharded trainer uses to substitute the collective Chamfer
+    (parallel.sharding.chamfer_collective) inside a shard_map.
 
     ``corr_every > 1`` amortizes the nearest-neighbor search ICP-style:
     correspondences refresh once per round of ``corr_every`` epochs and the
@@ -215,16 +221,21 @@ def train_epochs(
         return m2, transform_by_labels(m2, points, labels)
 
     if corr_every <= 1:
+        if chamfer_fn is None:
+            def chamfer_fn(pred, tgt, pm, tm):
+                return chamfer_distance(pred, tgt, pm, tm, norm=1,
+                                        backend=chamfer_backend)
+
         def loss_fn(p):
             m2, pred = predict(p)
-            loss = chamfer_distance(
-                pred, target, points_mask, target_mask, norm=1,
-                backend=chamfer_backend,
-            )
+            loss = chamfer_fn(pred, target, points_mask, target_mask)
             return loss, m2
 
         epoch_step = make_epoch_step(jax.value_and_grad(loss_fn, has_aux=True))
         return jax.lax.scan(epoch_step, carry, None, length=num_epochs)
+
+    if chamfer_fn is not None:
+        raise ValueError("chamfer_fn override requires corr_every == 1")
 
     if num_epochs % corr_every != 0:
         raise ValueError(

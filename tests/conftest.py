@@ -32,6 +32,7 @@ SLOW_FILES = {"test_end_to_end.py"}
 SLOW_TESTS: set[str] = {
     # measured >5 s on the CI CPU (pytest --durations, r3)
     "test_dp_registration_matches_unsharded",       # 33.7s
+    "test_dp_sp_train_step_matches_unsharded",      # ~30s
     "test_ragged_frames_masked_registration",       # 25.9s
     "test_fused_matches_batched",                   # 21.9s
     "test_sharded_chamfer_grad_matches_single",     # 15.7s

@@ -113,6 +113,47 @@ class TestSharding:
         _ = float(cham_mod.chamfer_distance(x, y, backend="xla"))
         assert len(calls) == n_calls
 
+    def test_dp_sp_train_step_matches_unsharded(self, rng):
+        """Combined (dp, sp) mesh: the collective-chamfer training step
+        must match the plain single-device train_epochs run."""
+        from autourdf_tpu.models import PoseRegressor, init_params
+        from autourdf_tpu.parallel import make_mesh, train_step_dp_sp
+        from autourdf_tpu.registration.optimizer import (
+            train_epochs,
+            train_init,
+        )
+
+        S, N, M, K, H = 4, 96, 128, 3, 32
+        model = PoseRegressor(mode="q", hidden_dim=H)
+
+        def mk(key):
+            _, p = init_params(key, "q", K, H)
+            return p
+
+        params = jax.vmap(mk)(jax.random.split(jax.random.PRNGKey(3), S))
+        mats = np.tile(np.eye(4, dtype=np.float32), (S, K, 1, 1))
+        mats[:, :, :3, 3] = rng.normal(scale=0.2, size=(S, K, 3))
+        mats = jnp.asarray(mats)
+        targets = jnp.asarray(rng.normal(scale=0.3, size=(S, M, 3)), jnp.float32)
+        points = jnp.asarray(rng.normal(scale=0.1, size=(S, N, 3)), jnp.float32)
+        labels = jnp.asarray(rng.integers(0, K, size=(S, N)), jnp.int32)
+
+        mesh = make_mesh((2, 2), ("dp", "sp"))
+        best_m, best_l = train_step_dp_sp(
+            mesh, model, params, mats, targets, points, labels, num_epochs=4)
+
+        def plain(p, m, t, pts, lab):
+            c = train_init(p, m, 2e-4)
+            c, _ = train_epochs(model, c, m, t, pts, lab, 4,
+                                chamfer_backend="xla")
+            return c.best_m, c.best_loss
+
+        ref_m, ref_l = jax.vmap(plain)(params, mats, targets, points, labels)
+        np.testing.assert_allclose(np.asarray(best_l), np.asarray(ref_l),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(best_m), np.asarray(ref_m),
+                                   atol=1e-5)
+
     def test_dp_registration_matches_unsharded(self, rng):
         from autourdf_tpu.models import PoseRegressor, init_params
         from autourdf_tpu.parallel import (
