@@ -29,6 +29,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num-step", type=int, default=10, help="frames per sequence")
     p.add_argument("--num-video", type=int, default=5, help="number of sequences")
     p.add_argument("--num-points", type=int, default=5000)
+    p.add_argument("--voxel-size", type=float, default=None,
+                   help="override the registry's mesh voxel size (m)")
     p.add_argument("--num-seg", type=int, default=None,
                    help="override the registry's cluster count K (changes "
                         "the {robot}_{K}_seg artifact paths, so pass it to "
@@ -58,6 +60,7 @@ def _cfg(args) -> PipelineConfig:
         num_points=args.num_points,
         num_seg=args.num_seg,
         seed_mode=args.seed_mode,
+        voxel_size=args.voxel_size,
         seed=args.seed,
         rot=getattr(args, "r", "q"),
         epochs=getattr(args, "epochs", 300),

@@ -148,6 +148,7 @@ class PipelineConfig:
     epochs: int = 300
     num_seg: int | None = None   # override of the registry's per-robot K
     seed_mode: str = "kmeans++"  # "kmeans++" (reference parity) | "fps"
+    voxel_size: float | None = None  # override of the registry's mesh voxel
     # structure / urdf
     start_steps: int = 0
     end_steps: int = 10
@@ -155,6 +156,10 @@ class PipelineConfig:
     def num_segments(self) -> int:
         """Effective cluster count: CLI override else the robot registry."""
         return self.num_seg if self.num_seg else get_robot(self.robot).num_seg
+
+    def voxel(self) -> float:
+        """Effective mesh voxel size: CLI override else the registry."""
+        return self.voxel_size or get_robot(self.robot).voxel_size
 
     def raw_dir(self) -> str:
         c = get_robot(self.robot)

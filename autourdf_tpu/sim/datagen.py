@@ -70,6 +70,11 @@ def collect(cfg: PipelineConfig, asset_root: str | None = None, ground: bool = F
     np.random.seed(cfg.seed)  # reference seeds the global stream (sim_data.py:539)
     seq_dirs: list[str] = []
     seed = 0
+    # per-sequence seeds must depend on the run seed or a "--seed 2025"
+    # variance sweep regenerates identical trajectories; the offset maps
+    # the default seed 2024 to the historical 0..4 block so canonical
+    # datasets stay bit-reproducible
+    seed_base = (cfg.seed - 2024) * 1000
     while len(seq_dirs) < epochs and seed < max_seed_tries:
         data_path = os.path.join(cfg.raw_dir(), f"V{seed:04}")
         os.makedirs(data_path, exist_ok=True)
@@ -91,10 +96,10 @@ def collect(cfg: PipelineConfig, asset_root: str | None = None, ground: bool = F
             dof=robot.dof,
             joint_limits_rad=env.joint_limits,
             scale=cfg.scale,
-            seed=seed,
+            seed=seed_base + seed,
         )
         collided, _ = generate_sequence(
-            env, angles, data_path, jax.random.PRNGKey(seed),
+            env, angles, data_path, jax.random.PRNGKey(seed_base + seed),
             num_points=cfg.num_points, pix=cfg.pix, noise=cfg.noise,
             pose_noise=cfg.pose_noise, point_noise=cfg.point_noise,
         )

@@ -163,10 +163,15 @@ def run_registration(
         raise ValueError(
             f"--epochs {cfg.epochs} must be a multiple of --corr-every {corr_every}"
         )
+    # keep each compiled training dispatch at roughly the 5000-point
+    # duration: chamfer cost scales ~N^2 and a single XLA execution past
+    # ~5 s can trip the tunneled-device dispatch deadline
+    dispatch = int(np.clip(100 * (5000.0 / max(N, 1)) ** 2, 25, 100))
     reg_cfg = RegistrationConfig(
         num_seg=cfg.num_segments(), mode=cfg.rot, epochs=cfg.epochs,
         chamfer_backend=chamfer_backend, mlp_icp=mlp_icp,
         use_normals=use_normals, corr_every=corr_every,
+        dispatch_epochs=dispatch,
     )
     model = PoseRegressor(mode=cfg.rot, hidden_dim=512)
 
@@ -433,7 +438,7 @@ def run_build_urdf(
     link_dir = os.path.join(cfg.mesh_dir(), seq_name)
     save_link_artifacts(link_dir, art)
     clouds = canonical_link_clouds(art)
-    mesh_paths = generate_link_meshes(clouds, link_dir, robot.voxel_size)
+    mesh_paths = generate_link_meshes(clouds, link_dir, cfg.voxel())
 
     urdf_path = write_urdf(
         links, joints, cms[0], cfg.urdf_path(), mesh_dir=link_dir,
