@@ -361,6 +361,18 @@ def combined_sum_map(cms: list[CoordMap], mode: str = "pose") -> np.ndarray:
     excites the joint between them, and averaging would dilute joints that
     only one sequence moves by the sequence count.
     """
+    if mode == "hybrid":
+        # pose map + observation-level swap map, each normalized then
+        # averaged: pose deviation separates links whose FRAMES move
+        # coherently; the carry/swap test separates links whose POINTS
+        # are not mutually explained even when the pose signal sits at
+        # the noise floor (the storage quiet-door case).  Averaging
+        # halves either map's margin at worst but preserves any
+        # separation present in at least one of them.
+        pose = combined_sum_map(cms, "pose")
+        swap = combined_sum_map(cms, "swap")
+        m = 0.5 * (pose + swap)
+        return (m - m.min()) / max(m.max() - m.min(), 1e-12)
     if mode == "swap":
         maps = [swap_consistency_map(cm) for cm in cms]
     else:

@@ -343,6 +343,7 @@ def run_build_urdf(
 
     ``reassign`` (default True) runs the carry-test boundary-cluster
     reassignment (structure.refine_groups_by_carry) after discovery."""
+    t_start = time.time()
     from .joints import estimate_joints_from_tree
     from .mesh import generate_link_meshes
     from .structure import (
@@ -446,6 +447,10 @@ def run_build_urdf(
     )
     if verbose:
         print(f"[urdf] wrote {urdf_path} ({len(links)} links, {len(joints)} joints)")
+    with _telemetry(cfg).stage("build_urdf", robot=cfg.robot,
+                               links=len(links), dof=dof,
+                               seconds_total=round(time.time() - t_start, 3)):
+        pass
     return {
         "urdf_path": urdf_path,
         "num_links": len(links),
@@ -526,6 +531,11 @@ def run_evaluation(
     )
     if verbose:
         print(f"[eval] resim chamfer {mean:.4f} +- {std:.4f}")
+    with _telemetry(cfg).stage("evaluate", robot=cfg.robot,
+                               dir_mean=round(float(np.mean(cmp.dir_errors)), 3)
+                               if cmp.dir_errors else None,
+                               chamfer_mean=round(mean, 4)):
+        pass
     return {
         "pos_errors": cmp.pos_errors,
         "dir_errors": cmp.dir_errors,
