@@ -139,7 +139,7 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--r", type=str, default="q", choices=["q", "rpy", "dq", "6d"])
     p.add_argument("--epochs", type=int, default=300)
-    p.add_argument("--end-video", dest="end_video", type=int, default=1)
+    p.add_argument("--end-video", dest="end_video", type=int, default=5)
     p.add_argument("--epoch", type=int, default=5)
     p.add_argument("--pix", type=int, default=800)
     p.add_argument("--ground", action="store_true")

@@ -54,10 +54,17 @@ def _apply_mask(pts: jax.Array, mask: jax.Array | None) -> jax.Array:
 # Auto-shard threshold: with an active multi-chip mesh that has an "sp"
 # axis, target clouds at least this large dispatch to the sharded path
 # (parallel.sharding.sharded_chamfer) instead of one chip's kernel.
-# Default from an 8-way virtual-mesh sweep (tests/test_parallel_native_viz
-# records the method): below ~32k points the per-shard launch + pmin
-# overhead beats the per-chip compute saved.  Override via env for other
-# topologies.
+#
+# Empirical grounding (r3): an 8-way VIRTUAL CPU mesh sweep
+# (M 4k..131k, 4096-point x, warm, 5-rep medians) has the sharded path
+# at 0.05x..0.63x of single-device — monotonically approaching but never
+# reaching the crossover, because the 8 "chips" share one socket and
+# shard_map overhead there is ~3 s.  The virtual mesh validates the
+# MECHANISM (bit-equal losses/grads, tests below); the 32768 default is
+# set by TPU geometry instead: per-chip kernel time at 32k^2 is
+# ~16 x 113 us ~ 1.8 ms (measured 5000^2 scaling) against ~100 us of
+# pmin/psum latency on ICI, so sharding pays above roughly this size.
+# Override via env for other topologies.
 AUTO_SHARD_MIN_M = int(os.environ.get("AUTOURDF_AUTO_SHARD_MIN_M", 32768))
 
 
