@@ -86,11 +86,15 @@ def _nn_pallas(x: jax.Array, y: jax.Array, norm: int, tx: int, ty: int, interpre
     mp = yp.shape[0]
     # Keep the (TX, M) distance block plus the resident (3, M) reference
     # block within the VMEM budget (the y block does not shrink with tx,
-    # so past ~380k reference points the only option is the XLA fallback).
+    # so past ~160k reference points the only option is the XLA fallback).
+    # The distance block is counted TWICE: the compiler materializes it
+    # once for the row-min and once for the argmin reduction (measured:
+    # tx=128, M=20480 compiles to an 18.22 MiB kernel stack, ~1.75x the
+    # single-block estimate — the 20k-point register OOM, r3).
     y_bytes = 3 * mp * 4
-    while tx > 8 and tx * mp * 4 + y_bytes > VMEM_BUDGET:
+    while tx > 8 and 2 * tx * mp * 4 + y_bytes > VMEM_BUDGET:
         tx //= 2
-    if tx * mp * 4 + y_bytes > VMEM_BUDGET:  # cloud too large for VMEM
+    if 2 * tx * mp * 4 + y_bytes > VMEM_BUDGET:  # cloud too large for VMEM
         return _nn_xla(x, y, norm)
     n = x.shape[0]
     xp = pad_points(x, tx)
