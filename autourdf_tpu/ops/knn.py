@@ -221,6 +221,86 @@ def _nn_bidir_pallas(x: jax.Array, y: jax.Array, norm: int, tx: int, interpret: 
     return dist[:n, 0], idx[:n, 0], dy, iy
 
 
+def _nn_bidir_acc_kernel(x_ref, yt_ref, dist_ref, idx_ref, cmin_ref, carg_ref,
+                         *, norm: int, tx: int):
+    """Accumulator variant: the column minima live in a single revisited
+    (1, M) block updated across the sequential TPU grid, instead of one
+    row per tile — VMEM for the y -> x direction drops from
+    O(tiles * M) to O(M), which is what lets the fused kernel scale to
+    20k+ point clouds (the fixed-tiles variant's column block alone would
+    be ~50 MiB there)."""
+    i = pl.program_id(0)
+    x0 = x_ref[:, 0:1].astype(jnp.float32)
+    x1 = x_ref[:, 1:2].astype(jnp.float32)
+    x2 = x_ref[:, 2:3].astype(jnp.float32)
+    y0 = yt_ref[0:1, :].astype(jnp.float32)
+    y1 = yt_ref[1:2, :].astype(jnp.float32)
+    y2 = yt_ref[2:3, :].astype(jnp.float32)
+    if norm == 1:
+        acc = jnp.abs(x0 - y0) + jnp.abs(x1 - y1) + jnp.abs(x2 - y2)
+    else:
+        d0, d1, d2 = x0 - y0, x1 - y1, x2 - y2
+        acc = d0 * d0 + d1 * d1 + d2 * d2
+    dist_ref[:] = jnp.min(acc, axis=1, keepdims=True)
+    idx_ref[:] = jnp.argmin(acc, axis=1).astype(jnp.int32)[:, None]
+    col_min = jnp.min(acc, axis=0, keepdims=True)               # (1, M)
+    col_arg = jnp.argmin(acc, axis=0).astype(jnp.int32)[None, :] + i * tx
+
+    @pl.when(i == 0)
+    def _init():
+        cmin_ref[:] = col_min
+        carg_ref[:] = col_arg
+
+    @pl.when(i > 0)
+    def _update():
+        prev = cmin_ref[:]
+        better = col_min < prev
+        cmin_ref[:] = jnp.where(better, col_min, prev)
+        carg_ref[:] = jnp.where(better, col_arg, carg_ref[:])
+
+
+def _bidir_acc_vmem_ok(m: int, tx: int) -> bool:
+    mp = _round_up(max(m, 1), 512)
+    # distance block counted twice (min + argmin materialization, same
+    # empirical rule as _nn_pallas), y block, two (1, M) accumulators
+    return 2 * tx * mp * 4 + 3 * mp * 4 + 4 * mp * 4 <= VMEM_BUDGET
+
+
+@functools.partial(jax.jit, static_argnames=("norm", "tx", "interpret"))
+def _nn_bidir_pallas_acc(x: jax.Array, y: jax.Array, norm: int, tx: int,
+                         interpret: bool):
+    n, m = x.shape[0], y.shape[0]
+    yp = pad_points(y, 512)
+    mp = yp.shape[0]
+    xp = pad_points(x, tx)
+    np_ = xp.shape[0]
+    num_tiles = np_ // tx
+    yt = yp.T
+
+    dist, idx, cmin, carg = pl.pallas_call(
+        functools.partial(_nn_bidir_acc_kernel, norm=norm, tx=tx),
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((tx, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tx, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tx, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, 1), jnp.float32),
+            jax.ShapeDtypeStruct((np_, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, mp), jnp.float32),
+            jax.ShapeDtypeStruct((1, mp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(xp, yt)
+    return dist[:n, 0], idx[:n, 0], cmin[0, :m], carg[0, :m]
+
+
 def nn_search_bidirectional(
     x: jax.Array,
     y: jax.Array,
@@ -235,17 +315,25 @@ def nn_search_bidirectional(
     if backend == "auto":
         backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
     if backend in ("pallas", "pallas_interpret"):
-        # fused kernel only when both the block and column outputs fit;
-        # otherwise two one-directional searches (which have their own
-        # graceful degradation to the chunked XLA path)
+        interpret = backend == "pallas_interpret"
+        # fixed-tiles kernel when both the block and column outputs fit
+        # (fastest at the 5000-point production shape) ...
         tx = next(
             (t for t in (512, 256, 128, 64) if _bidir_vmem_ok(x.shape[0], y.shape[0], t)),
             None,
         )
         if tx is not None:
-            return _nn_bidir_pallas(
-                x, y, norm, tx, interpret=backend == "pallas_interpret"
-            )
+            return _nn_bidir_pallas(x, y, norm, tx, interpret=interpret)
+        # ... accumulator kernel for large clouds (column minima in a
+        # single revisited (1, M) block) ...
+        tx = next(
+            (t for t in (256, 128, 64) if _bidir_acc_vmem_ok(y.shape[0], t)),
+            None,
+        )
+        if tx is not None:
+            return _nn_bidir_pallas_acc(x, y, norm, tx, interpret=interpret)
+        # ... else two one-directional searches (each with its own
+        # graceful degradation to the chunked XLA path)
         dx, ix = nn_search(x, y, norm, backend)
         dy, iy = nn_search(y, x, norm, backend)
         return dx, ix, dy, iy

@@ -67,6 +67,24 @@ class TestBidirectionalNN:
         np.testing.assert_array_equal(np.asarray(ix), ix_r)
         np.testing.assert_array_equal(np.asarray(iy), iy_r)
 
+    @pytest.mark.parametrize("norm", [1, 2])
+    def test_accumulator_variant_matches(self, rng, norm):
+        """The large-cloud accumulator kernel (_nn_bidir_pallas_acc,
+        column minima in one revisited (1, M) block) must match the brute
+        oracle exactly, including first-min argmin tie semantics."""
+        from autourdf_tpu.ops.knn import _nn_bidir_pallas_acc
+
+        x = rng.normal(size=(517, 3)).astype(np.float32)
+        y = rng.normal(size=(333, 3)).astype(np.float32)
+        dx, ix, dy, iy = _nn_bidir_pallas_acc(
+            jnp.asarray(x), jnp.asarray(y), norm, 64, True)
+        dx_r, ix_r = brute_nn(x, y, norm)
+        dy_r, iy_r = brute_nn(y, x, norm)
+        np.testing.assert_allclose(np.asarray(dx), dx_r, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dy), dy_r, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(ix), ix_r)
+        np.testing.assert_array_equal(np.asarray(iy), iy_r)
+
     def test_nonmultiple_sizes_multi_tile(self, rng):
         # > 1 x-tile (tx<=256) with non-multiple sizes: exercises both the
         # x padding and the cross-tile column-minima fold at knn.py:202-205
