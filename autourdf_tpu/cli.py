@@ -102,10 +102,13 @@ def main(argv=None) -> int:
     p.add_argument("--end-steps", dest="end_steps", type=int, default=10)
     p.add_argument("--end-video", "--end_video", dest="end_video", type=int, default=1)
     p.add_argument("--dist-mode", type=str, default="pose",
-                   choices=["pose", "diff", "legacy", "rigid"],
+                   choices=["pose", "diff", "legacy", "rigid", "swap",
+                            "hybrid"],
                    help="pose/diff/legacy = reference maps; rigid = relative-"
                         "pose deviation (ours, decouples articulation from "
-                        "spatial proximity)")
+                        "spatial proximity); swap = observation-level "
+                        "swap-consistency; hybrid = mean of pose and swap "
+                        "(recovers quiet joints at the pose noise floor)")
     p.add_argument("--dof-method", type=str, default="auto",
                    choices=["auto", "gap", "silhouette"],
                    help="auto = gap when decisive else silhouette; silhouette = reference parity")

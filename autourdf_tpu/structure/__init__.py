@@ -1,5 +1,6 @@
 from .clustering import (
     auto_dof_search,
+    recursive_gap_split,
     coord_clustering,
     merge_gap_dof_search,
     silhouette_dof_search,
@@ -32,6 +33,7 @@ __all__ = [
     "silhouette_dof_search",
     "merge_gap_dof_search",
     "auto_dof_search",
+    "recursive_gap_split",
     "chain_fit_dof_search",
     "single_linkage_components",
     "cluster_mst",

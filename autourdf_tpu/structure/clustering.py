@@ -113,6 +113,126 @@ def auto_dof_search(
     return silhouette_dof_search(d_map, link_range)
 
 
+def _cross_group_scale(
+    validate_map: np.ndarray, groups: list[set[int]]
+) -> float:
+    """Median raw deviation across the partition's cross-group pairs —
+    the magnitude a REAL joint produces in the validate map."""
+    k = validate_map.shape[0]
+    glab = np.zeros(k, dtype=int)
+    for gi, g in enumerate(groups):
+        for j in g:
+            glab[j] = gi
+    vals = [float(validate_map[i, j]) for i in range(k)
+            for j in range(i + 1, k) if glab[i] != glab[j]]
+    return float(np.median(vals)) if vals else 0.0
+
+
+def _split_motion_evidence(
+    validate_map: np.ndarray, idx: np.ndarray, lab: np.ndarray, scale: float
+) -> float:
+    """Candidate split's between-subgroup deviation as a fraction of the
+    partition's real-joint scale.
+
+    A true articulation split separates clusters whose relative motion
+    leaves point-level misfit comparable to the partition's existing
+    joints; a false split inside one rigid link separates registration
+    noise orders of magnitude below that scale.  Normalizing by the
+    cross-group median (not the candidate's own within-noise) keeps the
+    statistic stable at the noise floor, where within-means of ~1e-4
+    would make between/within ratios explode for static groups.
+
+    Measured calibration on this repo's registrations (pose map + raw
+    swap validate map): false splits (ur5 upper-arm/forearm, franka
+    base, wx200 base/shoulder) score 0.01-0.15; solo12's true knee/hip
+    splits score 0.22-0.30.
+    """
+    between = [float(validate_map[idx[a], idx[b]])
+               for a in range(len(idx)) for b in range(a + 1, len(idx))
+               if lab[a] != lab[b]]
+    if not between or scale <= 0.0:
+        return 0.0
+    return float(np.mean(between) / scale)
+
+
+def recursive_gap_split(
+    d_map: np.ndarray,
+    groups: list[set[int]],
+    gap_threshold: float = 1.45,
+    min_size: int = 4,
+    max_rounds: int = 8,
+    validate_map: np.ndarray | None = None,
+    validate_factor: float = 0.2,
+) -> list[set[int]]:
+    """Multi-scale refinement: re-run the merge-gap test INSIDE each group.
+
+    The global merge-gap cut finds the single dominant scale of motion
+    (e.g. solo12's whole-leg-vs-body signal) and hides finer articulation
+    whose merge heights interleave with other subtrees' (the knee within a
+    leg).  The height *ratio* is scale-invariant, so re-applying the same
+    decisiveness test to each group's own sub-dendrogram recovers joints
+    at any motion magnitude: a leg group's internal knee gap is decisive
+    locally even though globally it drowns.  Static groups are a smooth
+    noise continuum with no decisive ratio and are never split.
+
+    Measured on this repo's registrations (20k points): solo12's pose map
+    at the global cut yields 6 links; recursive splitting reaches the
+    13-link partition that k=13 single-linkage shows is present in the map
+    (5/45 clusters misassigned).  Groups smaller than ``min_size`` are
+    left alone (order statistics of 2-3 merge heights are meaningless).
+    """
+    d = 0.5 * (np.asarray(d_map, np.float64) + np.asarray(d_map, np.float64).T)
+    np.fill_diagonal(d, 0.0)
+    out = [set(g) for g in groups]
+    for _ in range(max_rounds):
+        changed = False
+        nxt: list[set[int]] = []
+        scale = (_cross_group_scale(validate_map, out)
+                 if validate_map is not None else 0.0)
+        for g in out:
+            if len(g) < min_size:
+                nxt.append(g)
+                continue
+            idx = np.asarray(sorted(g))
+            sub = d[np.ix_(idx, idx)]
+            Z = linkage(squareform(sub, checks=False), method="single")
+            h = Z[:, 2]
+            # candidate cuts leaving 2..len-1 subgroups; ratio between the
+            # first excluded merge and the last included one
+            best_ratio, best_nl = 0.0, None
+            for nl in range(2, len(idx)):
+                i = len(h) - nl + 1
+                if 0 < i < len(h) and h[i - 1] > 1e-12:
+                    r = float(h[i] / h[i - 1])
+                    if r > best_ratio:
+                        best_ratio, best_nl = r, nl
+            # the final merge (joining the last 2 subtrees) has no
+            # successor height; score it against the previous merge so a
+            # clean 2-way split is also discoverable
+            if len(h) >= 2 and h[-2] > 1e-12:
+                r = float(h[-1] / h[-2])
+                if r > best_ratio:
+                    best_ratio, best_nl = r, 2
+            accept = best_nl is not None and best_ratio >= gap_threshold
+            if accept:
+                lab = fcluster(Z, t=best_nl, criterion="maxclust") - 1
+                if validate_map is not None:
+                    ev = _split_motion_evidence(validate_map, idx, lab, scale)
+                    accept = ev >= validate_factor
+            if accept:
+                for sg in range(best_nl):
+                    members = set(idx[lab == sg].tolist())
+                    if members:
+                        nxt.append(members)
+                changed = True
+            else:
+                nxt.append(g)
+        out = nxt
+        if not changed:
+            break
+    return out
+
+
 def silhouette_dof_search(
     d_map: np.ndarray, link_range: tuple[int, int] | None = None
 ) -> tuple[list[set[int]], np.ndarray, list[float], np.ndarray]:

@@ -147,6 +147,56 @@ class TestClustering:
         groups, labels, scores, nls = silhouette_dof_search(d, link_range=(2, 7))
         assert len(groups) == 3
 
+    def test_recursive_gap_split_multiscale(self):
+        """The global gap cut finds only the dominant motion scale; the
+        recursive pass must recover a fine split hidden inside one group
+        (solo12's knee-inside-a-leg failure mode) while leaving a smooth
+        noise-continuum group intact."""
+        from autourdf_tpu.structure import recursive_gap_split
+
+        # 12 clusters: group A = {0..7} with an internal fine split
+        # {0-3} vs {4-7} (within 0.01, between 0.1); group B = {8..11}
+        # a smooth continuum (heights 0.010/0.012/0.014, no decisive gap);
+        # A-B separation huge (10.0) so the global cut stops at 2 groups.
+        d = np.full((12, 12), 10.0)
+        rng = np.random.default_rng(0)
+        for blk in (range(0, 4), range(4, 8)):
+            for i in blk:
+                for j in blk:
+                    d[i, j] = 0.01
+        for i in range(0, 4):
+            for j in range(4, 8):
+                d[i, j] = d[j, i] = 0.1
+        bvals = np.asarray([0.0, 0.010, 0.022, 0.036])
+        for a in range(4):
+            for b in range(4):
+                d[8 + a, 8 + b] = abs(bvals[a] - bvals[b])
+        np.fill_diagonal(d, 0.0)
+
+        groups = [set(range(0, 8)), set(range(8, 12))]
+        out = recursive_gap_split(d, groups)
+        assert sorted(sorted(g) for g in out) == [
+            [0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 11]]
+
+        # with a validate map: the same split must be vetoed when its
+        # between-subgroup motion evidence is far below the partition's
+        # real-joint scale (a false split inside one rigid link) ...
+        weak = np.full((12, 12), 1e-4)
+        for i in range(8):
+            for j in range(8, 12):
+                weak[i, j] = weak[j, i] = 0.5  # cross-group scale
+        out_veto = recursive_gap_split(d, groups, validate_map=weak)
+        assert sorted(len(g) for g in out_veto) == [4, 8]
+
+        # ... and accepted when the evidence is comparable to that scale
+        strong = weak.copy()
+        for i in range(0, 4):
+            for j in range(4, 8):
+                strong[i, j] = strong[j, i] = 0.2
+        out_ok = recursive_gap_split(d, groups, validate_map=strong)
+        assert sorted(sorted(g) for g in out_ok) == [
+            [0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 11]]
+
     def test_default_range_reaches_two_links(self):
         """1-DoF objects (laptop etc.) need the widened default range:
         the reference scans 4..25 and can never return 2 links."""
