@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def gt_labels(cfg, num_videos=None, asset_root=None):
+def gt_labels(cfg, num_videos=None, asset_root=None, collapse_comoving=True):
     from autourdf_tpu.config import get_robot
     from autourdf_tpu.io.artifacts import list_sequence_dirs, load_registration
     from autourdf_tpu.sim.env import KinematicEnv
@@ -60,7 +60,10 @@ def gt_labels(cfg, num_videos=None, asset_root=None):
         # cluster's frame-0 position + rotation geodesic
         if votes is None:
             votes = np.zeros((K, len(link_names)))
+            link_dev = np.zeros((len(link_names), len(link_names)))
+            n_frames = 0
         p0 = M[0, :, :3, 3]                          # (K, 3)
+        q0 = L[0, :, :3, 3]                          # (NL, 3)
         for t in range(1, T):
             d = np.einsum("kab,lbc->klac", rel_c[t],
                           np.linalg.inv(rel_l[t]))   # (K, NL, 4, 4)
@@ -70,9 +73,33 @@ def gt_labels(cfg, num_videos=None, asset_root=None):
             tr = np.trace(d[:, :, :3, :3], axis1=-2, axis2=-1)
             ang = np.arccos(np.clip((tr - 1) / 2, -1, 1))
             votes += dev_t + 0.1 * ang
+            # link-pair relative motion (for co-moving collapse)
+            dl = np.einsum("lab,mbc->lmac", rel_l[t],
+                           np.linalg.inv(rel_l[t]))  # (NL, NL, 4, 4)
+            mv = np.einsum("lmab,mb->lma", dl[:, :, :3, :3], q0) \
+                + dl[:, :, :3, 3]
+            trl = np.trace(dl[:, :, :3, :3], axis1=-2, axis2=-1)
+            angl = np.arccos(np.clip((trl - 1) / 2, -1, 1))
+            link_dev += np.linalg.norm(mv - q0[None], axis=-1) + 0.1 * angl
+            n_frames += 1
     labels = np.argmin(votes, axis=1)
     margins = np.sort(votes, axis=1)
     conf = margins[:, 1] / np.maximum(margins[:, 0], 1e-9)
+    if collapse_comoving:
+        # Links connected by fixed/unexcited joints move identically in
+        # this dataset; no unsupervised method can (or should) separate
+        # them, and argmin ties between them are arbitrary.  Collapse
+        # links whose relative FK motion averages < ~1 mm per frame into
+        # one discoverable link, relabelling to the representative.
+        mean_dev = 0.5 * (link_dev + link_dev.T) / max(n_frames, 1)
+        adj = mean_dev < 1e-3
+        rep = np.arange(len(link_names))
+        for a in range(len(link_names)):
+            for b in range(a + 1, len(link_names)):
+                if adj[a, b]:
+                    ra, rb = rep[a], rep[b]
+                    rep[rep == rb] = ra
+        labels = rep[labels]
     return labels, link_names, conf
 
 
