@@ -120,6 +120,9 @@ def main(argv=None) -> int:
                         "mst = reference proximity MST")
     p.add_argument("--no-reassign", action="store_true",
                    help="skip the carry-test boundary-cluster reassignment")
+    p.add_argument("--no-dof-guard", action="store_true",
+                   help="skip the observation-level rigidity guard that "
+                        "escalates under-split unknown-DoF picks")
 
     p = sub.add_parser("evaluate", help="joint accuracy + resim chamfer vs gt")
     _add_common(p)
@@ -178,7 +181,7 @@ def main(argv=None) -> int:
             cfg, unknown_dof=args.unknown_dof, dist_mode=args.dist_mode,
             dof_method=args.dof_method, end_video=args.end_video,
             refine=args.refine, refine_steps=args.refine_steps, tree=args.tree,
-            reassign=not args.no_reassign,
+            reassign=not args.no_reassign, dof_guard=not args.no_dof_guard,
         )
         print(json.dumps({"urdf": out["urdf_path"], "links": out["num_links"],
                           "dof": out["dof"]}))

@@ -1,13 +1,17 @@
 from .clustering import (
     auto_dof_search,
+    carry_excess_matrix,
+    partition_rigidity,
     recursive_gap_split,
+    rigidity_guarded_groups,
     coord_clustering,
     merge_gap_dof_search,
     silhouette_dof_search,
     single_linkage_components,
 )
 from .coord_map import (CoordMap, combined_sum_map,
-                        refine_groups_by_carry, swap_consistency_map)
+                        refine_groups_by_carry, swap_consistency_map,
+                        swap_consistency_stack)
 from .model_select import chain_fit_dof_search
 from .links import (
     LinkArtifacts,
@@ -28,12 +32,16 @@ __all__ = [
     "CoordMap",
     "combined_sum_map",
     "refine_groups_by_carry",
+    "swap_consistency_stack",
     "swap_consistency_map",
     "coord_clustering",
     "silhouette_dof_search",
     "merge_gap_dof_search",
     "auto_dof_search",
+    "carry_excess_matrix",
+    "partition_rigidity",
     "recursive_gap_split",
+    "rigidity_guarded_groups",
     "chain_fit_dof_search",
     "single_linkage_components",
     "cluster_mst",

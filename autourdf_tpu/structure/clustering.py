@@ -113,6 +113,118 @@ def auto_dof_search(
     return silhouette_dof_search(d_map, link_range)
 
 
+def carry_excess_matrix(stack: np.ndarray) -> tuple[np.ndarray, float]:
+    """Floor-calibrated carry excess (meters) + median noise floor.
+
+    ``stack`` is (S, K, K) per-sequence raw carry matrices
+    (coord_map.swap_consistency_stack): stack[s, j, k] = mean off-surface
+    distance of cluster j's frame-0 points transported by cluster k's
+    registered motion.  The diagonal is each cluster's self-carry — the
+    dataset's own registration + sampling noise floor in meters.  Excess
+    above the pairwise floor is articulation evidence in absolute units;
+    it is symmetrized by max because a pair is articulated if EITHER
+    direction fails to stay on the observed surface."""
+    exs, floors = [], []
+    for s in range(stack.shape[0]):
+        d = stack[s]
+        floor = np.diag(d)
+        ex = d - np.maximum(floor[:, None], floor[None, :])
+        ex = np.maximum(ex, ex.T)
+        exs.append(np.maximum(ex, 0.0))
+        floors.append(floor)
+    comb = np.stack(exs).mean(axis=0)
+    np.fill_diagonal(comb, 0.0)
+    return comb, float(np.median(np.stack(floors)))
+
+
+def partition_rigidity(
+    excess: np.ndarray, groups: list[set[int]], q: float = 0.5
+) -> float:
+    """Worst within-group articulation evidence of a partition (meters).
+
+    Median (q=0.5) over each group's within pairs, maxed over groups: an
+    under-split group (two real links merged) has ~half its pairs across
+    the hidden joint, so the median stays >> the noise floor, while a
+    single straddling boundary cluster in a correct group contributes
+    too few pairs to move the median (q=0.75 false-fired on ur5, where
+    one unmoved boundary cluster inflated the upper quartile)."""
+    worst = 0.0
+    for g in groups:
+        idx = sorted(g)
+        if len(idx) < 2:
+            continue
+        vals = [excess[i, j] for a, i in enumerate(idx) for j in idx[a + 1:]]
+        worst = max(worst, float(np.quantile(vals, q)))
+    return worst
+
+
+def rigidity_guarded_groups(
+    d_map: np.ndarray,
+    stack: np.ndarray,
+    groups: list[set[int]],
+    c_guard: float = 1.2,
+    q: float = 0.5,
+    margin: float = 0.8,
+    k_max: int | None = None,
+    verbose: bool = False,
+) -> tuple[list[set[int]], bool]:
+    """Escalate an under-split DoF-search pick until the partition is
+    observation-rigid (ours, beyond reference).
+
+    The pose map's dendrogram statistics (gap / silhouette) pick the
+    link count from RELATIVE merge heights and collapse on seeds where
+    the map is a smooth continuum — while its partitions at the correct
+    k remain nearly perfect.  The carry matrix supplies what they lack:
+    an ABSOLUTE validity test in meters.  If the (carry-refined) chosen
+    partition still contains an articulated pair (partition_rigidity >
+    c_guard * floor), it is under-split; walk k up the pose dendrogram,
+    carry-refining each candidate, until rigid.
+
+    Measured on this repo's registrations + 2 extra capture seeds
+    (scripts/probe_rigidity_guard.py, c_guard=1.2, q=0.5): rescues every
+    catastrophic seed collapse probed (franka 2->6, 4->6 links of gt 7;
+    ur5 4->6 of 6 exact) and never fires on a correct pick (headline
+    wx200/ur5/franka/laptop partitions unchanged).  Blind spot: joints
+    whose relative motion maps the observed surface onto itself
+    (near-symmetric wrists) sit below the carry floor and cannot trigger
+    escalation — those need the pose map itself to resolve.
+
+    Returns (groups, fired)."""
+    from .coord_map import _refine_groups_with_matrix
+
+    excess, floor = carry_excess_matrix(stack)
+    d_mean = stack.mean(axis=0)
+    groups = _refine_groups_with_matrix(d_mean, groups, margin)
+    rig = partition_rigidity(excess, groups, q)
+    if verbose:
+        print(f"[structure] rigidity guard: partition rigidity "
+              f"{rig * 1e3:.2f}mm vs floor {floor * 1e3:.2f}mm")
+    if rig <= c_guard * floor:
+        return groups, False
+    K = excess.shape[0]
+    k_max = k_max or min(K, 25)
+    d = 0.5 * (np.asarray(d_map, np.float64) + np.asarray(d_map).T)
+    np.fill_diagonal(d, 0.0)
+    Z = linkage(squareform(d, checks=False), method="single")
+    best, best_rig = groups, rig
+    for k in range(len(groups) + 1, k_max + 1):
+        lab = fcluster(Z, t=k, criterion="maxclust") - 1
+        cand = [set(np.nonzero(lab == g)[0].tolist())
+                for g in range(lab.max() + 1)]
+        cand = _refine_groups_with_matrix(d_mean, cand, margin)
+        rig = partition_rigidity(excess, cand, q)
+        if verbose:
+            print(f"[structure] rigidity guard: k={k} "
+                  f"rigidity {rig * 1e3:.2f}mm")
+        if rig < best_rig:
+            best, best_rig = cand, rig
+        if rig <= c_guard * floor:
+            return cand, True
+    # nothing reached the floor within k_max — keep the most rigid
+    # candidate seen rather than the original under-split
+    return best, True
+
+
 def _cross_group_scale(
     validate_map: np.ndarray, groups: list[set[int]]
 ) -> float:

@@ -293,26 +293,24 @@ def swap_consistency_map(
     return excess / max(cm.bbox_diag, 1e-12)
 
 
-def refine_groups_by_carry(
-    cms: list[CoordMap],
+def swap_consistency_stack(cms: list["CoordMap"], **kwargs) -> np.ndarray:
+    """(S, K, K) per-sequence raw carry matrices (see swap_consistency_map).
+
+    Computed once and shared by the carry-test reassignment and the
+    rigidity guard so the (T x K x P)-point transport runs a single time
+    per pipeline invocation."""
+    return np.stack([swap_consistency_map(cm, raw=True, **kwargs)
+                     for cm in cms])
+
+
+def _refine_groups_with_matrix(
+    d: np.ndarray,
     groups: list[set[int]],
     margin: float = 0.8,
     verbose: bool = False,
 ) -> list[set[int]]:
-    """Reassign boundary-straddling clusters by the carry test (ours).
-
-    k-means segments cut across joints, so a cluster near a joint can be
-    grouped with the wrong link even when the link COUNT is right (the
-    franka elbow case: one shoulder-side cluster grouped distally, which
-    poisons that link's mesh and the re-simulation at bent configs).  For
-    each cluster j, score every candidate link g by the best
-    observation-level explanation its member motions give j's points
-    (min over k in g, k != j, of the raw carry distance), averaged over
-    sequences; move j only when another link explains it ``margin`` times
-    better than its own (excluding j itself, whose self-explanation is
-    trivially perfect).  Empty groups are dropped.
-    """
-    d = np.mean([swap_consistency_map(cm, raw=True) for cm in cms], axis=0)
+    """Carry-test reassignment on a precomputed mean raw carry matrix
+    (pure-array core of refine_groups_by_carry)."""
     K = d.shape[0]
     labels = np.full(K, -1)
     for gi, g in enumerate(groups):
@@ -331,9 +329,11 @@ def refine_groups_by_carry(
             # and dissolving a link is a structure change, not a boundary
             # fix; leave it to the DoF search
             continue
+
         def group_score(gi):
             members = [k for k in out[gi] if k != j]
             return min(d[j, k] for k in members) if members else np.inf
+
         cur_score = group_score(cur)
         best_gi, best_score = cur, cur_score
         for gi in range(len(out)):
@@ -351,6 +351,32 @@ def refine_groups_by_carry(
                       f"link {cur} ({cur_score:.4f}) -> link {best_gi} "
                       f"({best_score:.4f})")
     return [g for g in out if g]
+
+
+def refine_groups_by_carry(
+    cms: list[CoordMap],
+    groups: list[set[int]],
+    margin: float = 0.8,
+    verbose: bool = False,
+    stack: np.ndarray | None = None,
+) -> list[set[int]]:
+    """Reassign boundary-straddling clusters by the carry test (ours).
+
+    k-means segments cut across joints, so a cluster near a joint can be
+    grouped with the wrong link even when the link COUNT is right (the
+    franka elbow case: one shoulder-side cluster grouped distally, which
+    poisons that link's mesh and the re-simulation at bent configs).  For
+    each cluster j, score every candidate link g by the best
+    observation-level explanation its member motions give j's points
+    (min over k in g, k != j, of the raw carry distance), averaged over
+    sequences; move j only when another link explains it ``margin`` times
+    better than its own (excluding j itself, whose self-explanation is
+    trivially perfect).  Empty groups are dropped.
+    """
+    if stack is None:
+        stack = swap_consistency_stack(cms)
+    return _refine_groups_with_matrix(stack.mean(axis=0), groups, margin,
+                                      verbose)
 
 
 def combined_sum_map(cms: list[CoordMap], mode: str = "pose") -> np.ndarray:

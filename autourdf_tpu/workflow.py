@@ -325,6 +325,7 @@ def run_build_urdf(
     refine_steps: int = 400,
     tree: str = "motion",
     reassign: bool = True,
+    dof_guard: bool = True,
     verbose: bool = True,
 ) -> dict:
     """Structure discovery -> joints -> link meshes -> URDF file.
@@ -342,7 +343,13 @@ def run_build_urdf(
     ``tree="mst"`` forces the reference's proximity-only MST.
 
     ``reassign`` (default True) runs the carry-test boundary-cluster
-    reassignment (structure.refine_groups_by_carry) after discovery."""
+    reassignment (structure.refine_groups_by_carry) after discovery.
+
+    ``dof_guard`` (default True) validates the unknown-DoF pick with the
+    observation-level rigidity guard (structure.rigidity_guarded_groups):
+    a partition whose groups still contain articulated pairs (carry
+    excess above the dataset noise floor) is under-split and k is
+    escalated through the pose dendrogram until rigid."""
     t_start = time.time()
     from .joints import estimate_joints_from_tree
     from .mesh import generate_link_meshes
@@ -381,11 +388,27 @@ def run_build_urdf(
         dof = robot.dof
         groups, labels, _ = coord_clustering(sum_map, dof + 1)
 
+    carry_stack = None
+    if reassign or (unknown_dof and dof_guard):
+        from .structure import swap_consistency_stack
+
+        carry_stack = swap_consistency_stack(cms)
     if reassign:
         from .structure import refine_groups_by_carry
 
-        groups = refine_groups_by_carry(cms, groups, verbose=verbose)
+        groups = refine_groups_by_carry(cms, groups, verbose=verbose,
+                                        stack=carry_stack)
         dof = len(groups) - 1
+    if unknown_dof and dof_guard:
+        from .structure import rigidity_guarded_groups
+
+        groups, fired = rigidity_guarded_groups(
+            sum_map, carry_stack, groups, verbose=verbose)
+        if fired:
+            dof = len(groups) - 1
+            if verbose:
+                print(f"[urdf] rigidity guard escalated: links={len(groups)} "
+                      f"dof={dof}")
 
     num_steps = cfg.end_steps - cfg.start_steps
     refine_frames = None

@@ -34,17 +34,21 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 
 
-def carry_stack(cfg, cache_dir, num_videos=5):
+def carry_stack(cfg, cache_dir, num_videos=5, samples=64, targets=2048):
     """(S, K, K) per-sequence raw carry matrices, cached on disk."""
     from autourdf_tpu.structure import swap_consistency_map
     from autourdf_tpu.workflow import build_coord_maps
 
-    tag = f"{cfg.robot}_{cfg.num_seg}"
+    res = "" if (samples, targets) == (64, 2048) else f"_{samples}x{targets}"
+    tag = f"{cfg.robot}_{cfg.num_seg}{res}"
     path = os.path.join(cache_dir, f"{tag}_carry_raw.npy")
     if os.path.exists(path):
         return np.load(path)
     cms, _ = build_coord_maps(cfg, num_videos=num_videos)
-    stack = np.stack([swap_consistency_map(cm, raw=True) for cm in cms])
+    stack = np.stack([
+        swap_consistency_map(cm, samples_per_cluster=samples,
+                             target_points=targets, raw=True)
+        for cm in cms])
     os.makedirs(cache_dir, exist_ok=True)
     np.save(path, stack)
     return stack

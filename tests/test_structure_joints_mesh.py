@@ -197,6 +197,71 @@ class TestClustering:
         assert sorted(sorted(g) for g in out_ok) == [
             [0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 11]]
 
+    def test_rigidity_guard_escalates_undersplit(self):
+        """A seed-collapsed pick (everything in one group) must be
+        escalated to the true partition by the carry rigidity test; a
+        correct pick must pass untouched (fired=False)."""
+        from autourdf_tpu.structure import (
+            carry_excess_matrix,
+            partition_rigidity,
+            rigidity_guarded_groups,
+        )
+
+        K = 8
+        links = [list(range(0, 4)), list(range(4, 8))]
+        floor = 0.002
+        stack = np.full((2, K, K), 0.02)  # cross-link carry: 10x floor
+        for g in links:
+            for i in g:
+                for j in g:
+                    stack[:, i, j] = 0.0025  # same-link: just above floor
+        for i in range(K):
+            stack[:, i, i] = floor
+        ex, med_floor = carry_excess_matrix(stack)
+        assert abs(med_floor - floor) < 1e-9
+        assert partition_rigidity(ex, [set(range(K))]) > 5 * floor
+        assert partition_rigidity(ex, [set(g) for g in links]) < floor
+
+        # pose map consistent with the links (values only order the
+        # dendrogram; the guard decides from the carry stack)
+        pose = np.full((K, K), 1.0)
+        for g in links:
+            for i in g:
+                for j in g:
+                    pose[i, j] = 0.1
+        np.fill_diagonal(pose, 0.0)
+
+        groups, fired = rigidity_guarded_groups(pose, stack,
+                                                [set(range(K))])
+        assert fired
+        assert sorted(sorted(g) for g in groups) == links
+
+        groups2, fired2 = rigidity_guarded_groups(
+            pose, stack, [set(g) for g in links])
+        assert not fired2
+        assert sorted(sorted(g) for g in groups2) == links
+
+    def test_partition_rigidity_median_ignores_boundary_cluster(self):
+        """One straddling cluster inside a correct 5-cluster group must
+        not push the group's median within-pair excess above the floor
+        (the q75 statistic false-fired on exactly this)."""
+        from autourdf_tpu.structure import (
+            carry_excess_matrix,
+            partition_rigidity,
+        )
+
+        K = 5
+        stack = np.full((1, K, K), 0.0022)
+        for i in range(K):
+            stack[:, i, i] = 0.002
+        # cluster 4 is the straddler: carries badly with everyone
+        stack[:, 4, :4] = stack[:, :4, 4] = 0.02
+        ex, floor = carry_excess_matrix(stack)
+        rig = partition_rigidity(ex, [set(range(K))], q=0.5)
+        assert rig < floor  # 4 bad pairs of 10: median unaffected
+        rig75 = partition_rigidity(ex, [set(range(K))], q=0.75)
+        assert rig75 > floor  # the old statistic would have fired
+
     def test_default_range_reaches_two_links(self):
         """1-DoF objects (laptop etc.) need the widened default range:
         the reference scans 4..25 and can never return 2 links."""
