@@ -162,32 +162,47 @@ def rigidity_guarded_groups(
     d_map: np.ndarray,
     stack: np.ndarray,
     groups: list[set[int]],
-    c_guard: float = 1.2,
+    c_fire: float = 2.5,
+    c_stop: float = 1.2,
     q: float = 0.5,
     margin: float = 0.8,
     k_max: int | None = None,
     verbose: bool = False,
 ) -> tuple[list[set[int]], bool]:
-    """Escalate an under-split DoF-search pick until the partition is
-    observation-rigid (ours, beyond reference).
+    """Escalate a catastrophically under-split DoF pick until the
+    partition is observation-rigid (ours, beyond reference).
 
     The pose map's dendrogram statistics (gap / silhouette) pick the
-    link count from RELATIVE merge heights and collapse on seeds where
-    the map is a smooth continuum — while its partitions at the correct
-    k remain nearly perfect.  The carry matrix supplies what they lack:
-    an ABSOLUTE validity test in meters.  If the (carry-refined) chosen
-    partition still contains an articulated pair (partition_rigidity >
-    c_guard * floor), it is under-split; walk k up the pose dendrogram,
-    carry-refining each candidate, until rigid.
+    link count from RELATIVE merge heights and collapse on captures
+    where the map is a smooth continuum (seed sweep: ur5/franka fall to
+    2-5 links) — while the pose PARTITIONS at the correct k remain
+    nearly perfect.  The carry matrix supplies what they lack: an
+    ABSOLUTE validity test in meters.  A partition whose groups still
+    contain pairs with median carry excess far above the dataset's own
+    self-carry noise floor is under-split.
 
-    Measured on this repo's registrations + 2 extra capture seeds
-    (scripts/probe_rigidity_guard.py, c_guard=1.2, q=0.5): rescues every
-    catastrophic seed collapse probed (franka 2->6, 4->6 links of gt 7;
-    ur5 4->6 of 6 exact) and never fires on a correct pick (headline
-    wx200/ur5/franka/laptop partitions unchanged).  Blind spot: joints
-    whose relative motion maps the observed surface onto itself
-    (near-symmetric wrists) sit below the carry floor and cannot trigger
-    escalation — those need the pose map itself to resolve.
+    Calibration over 28 cached registrations x 3 capture seeds
+    (scripts/probe_rigidity_guard.py escalation profiles):
+
+    - catastrophic under-splits sit at 2.8-5.1x floor at the auto pick
+      (franka seeds, ur5 seeds, solo12, allegro_16) while every correct
+      pick — including noisy large objects whose rigid groups carry
+      1.4-2.1x floor of registration drift (toilet, op3, trashcan,
+      allegro K=45) — stays below 2.2x.  Hence ``c_fire = 2.5``.
+    - during escalation, true rescues drop below ~1.2x floor within a
+      few k (solo12 0.81x at k=11, allegro_16 1.19x at k=18); noisy
+      datasets never do before k_max.  Hence ``c_stop = 1.2`` and
+      revert-to-original when unsatisfiable (firing on toilet would
+      otherwise walk to k=21+).
+    - q = 0.5 (median within-group excess, maxed over groups): a single
+      straddling boundary cluster cannot move a group median; q = 0.75
+      false-fired on exactly that (ur5 headline).
+
+    Known blind spots (mild, documented): joints whose relative motion
+    maps the observed surface onto itself (near-symmetric wrists) sit
+    below the carry floor, and under-splits missing a single such link
+    score 1.0-1.5x floor — inside the noisy-correct band, so the guard
+    leaves them to the pose-map statistics.
 
     Returns (groups, fired)."""
     from .coord_map import _refine_groups_with_matrix
@@ -198,15 +213,15 @@ def rigidity_guarded_groups(
     rig = partition_rigidity(excess, groups, q)
     if verbose:
         print(f"[structure] rigidity guard: partition rigidity "
-              f"{rig * 1e3:.2f}mm vs floor {floor * 1e3:.2f}mm")
-    if rig <= c_guard * floor:
+              f"{rig * 1e3:.2f}mm = {rig / max(floor, 1e-12):.2f}x floor "
+              f"({floor * 1e3:.2f}mm)")
+    if rig <= c_fire * floor:
         return groups, False
     K = excess.shape[0]
     k_max = k_max or min(K, 25)
     d = 0.5 * (np.asarray(d_map, np.float64) + np.asarray(d_map).T)
     np.fill_diagonal(d, 0.0)
     Z = linkage(squareform(d, checks=False), method="single")
-    best, best_rig = groups, rig
     for k in range(len(groups) + 1, k_max + 1):
         lab = fcluster(Z, t=k, criterion="maxclust") - 1
         cand = [set(np.nonzero(lab == g)[0].tolist())
@@ -215,14 +230,12 @@ def rigidity_guarded_groups(
         rig = partition_rigidity(excess, cand, q)
         if verbose:
             print(f"[structure] rigidity guard: k={k} "
-                  f"rigidity {rig * 1e3:.2f}mm")
-        if rig < best_rig:
-            best, best_rig = cand, rig
-        if rig <= c_guard * floor:
+                  f"rigidity {rig / max(floor, 1e-12):.2f}x floor")
+        if rig <= c_stop * floor:
             return cand, True
-    # nothing reached the floor within k_max — keep the most rigid
-    # candidate seen rather than the original under-split
-    return best, True
+    # no candidate became rigid within k_max: the high rigidity is
+    # dataset noise, not hidden articulation — keep the original pick
+    return groups, False
 
 
 def _cross_group_scale(

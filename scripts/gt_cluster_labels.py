@@ -80,7 +80,8 @@ def gt_labels(cfg, num_videos=None, asset_root=None, collapse_comoving=True):
                 + dl[:, :, :3, 3]
             trl = np.trace(dl[:, :, :3, :3], axis1=-2, axis2=-1)
             angl = np.arccos(np.clip((trl - 1) / 2, -1, 1))
-            link_dev += np.linalg.norm(mv - q0[None], axis=-1) + 0.1 * angl
+            link_dev = np.maximum(
+                link_dev, np.linalg.norm(mv - q0[None], axis=-1) + 0.1 * angl)
             n_frames += 1
     labels = np.argmin(votes, axis=1)
     margins = np.sort(votes, axis=1)
@@ -89,10 +90,12 @@ def gt_labels(cfg, num_videos=None, asset_root=None, collapse_comoving=True):
         # Links connected by fixed/unexcited joints move identically in
         # this dataset; no unsupervised method can (or should) separate
         # them, and argmin ties between them are arbitrary.  Collapse
-        # links whose relative FK motion averages < ~1 mm per frame into
-        # one discoverable link, relabelling to the representative.
-        mean_dev = 0.5 * (link_dev + link_dev.T) / max(n_frames, 1)
-        adj = mean_dev < 1e-3
+        # links whose relative FK motion NEVER exceeds ~2 mm equivalent
+        # (translation at the link origin + 0.1 * geodesic) in any frame
+        # into one discoverable link.  Max-over-frames, not mean: tiny
+        # finger joints (allegro) move ~1 mm/frame but accumulate to cm.
+        mean_dev = 0.5 * (link_dev + link_dev.T)
+        adj = mean_dev < 2e-3
         rep = np.arange(len(link_names))
         for a in range(len(link_names)):
             for b in range(a + 1, len(link_names)):

@@ -29,7 +29,24 @@ import numpy as np  # noqa: E402
 from scipy.cluster.hierarchy import fcluster, linkage  # noqa: E402
 from scipy.spatial.distance import squareform  # noqa: E402
 
-from probe_carry_rule import carry_stack, excess_matrix, stats  # noqa: E402
+from probe_carry_rule import carry_stack, stats  # noqa: E402
+
+
+def norm_excess_matrix(stack):
+    """Per-pair floor-NORMALIZED excess (unitless) + median floor."""
+    import numpy as np
+    exs, floors = [], []
+    for s in range(stack.shape[0]):
+        d = stack[s]
+        floor = np.diag(d)
+        pf = np.maximum(np.maximum(floor[:, None], floor[None, :]), 1e-9)
+        ex = (d - pf) / pf
+        ex = np.maximum(ex, ex.T)
+        exs.append(np.maximum(ex, 0.0))
+        floors.append(floor)
+    comb = np.stack(exs).mean(axis=0)
+    np.fill_diagonal(comb, 0.0)
+    return comb, float(np.median(np.stack(floors)))
 from probe_split_merge import group_rigidity  # noqa: E402
 
 
@@ -90,7 +107,7 @@ def guarded_search(pose, ex, d_mean, floor, auto_groups, c_guard=1.5,
             trace.append(f"k={k} rig={rig / floor:.2f}")
         if rig <= c_guard * floor:
             return cand, True
-    return groups, False
+    return groups, True  # unsatisfiable: keep the original pick
 
 
 def main():
@@ -102,6 +119,7 @@ def main():
     ap.add_argument("--robots", nargs="*", default=None)
     ap.add_argument("--c-guard", type=float, default=1.5)
     ap.add_argument("--q", type=float, default=0.5)
+    ap.add_argument("--stat", default="norm", choices=["norm", "mm"])
     ap.add_argument("--trace", action="store_true")
     ap.add_argument("--samples", type=int, default=64)
     ap.add_argument("--targets", type=int, default=2048)
@@ -137,7 +155,12 @@ def main():
                 except Exception as e:
                     print(f"{root}/{robot}_{K}: skip {e}", flush=True)
                     continue
-                ex, floor = excess_matrix(stack)
+                if args.stat == "norm":
+                    ex, _ = norm_excess_matrix(stack)
+                    floor = 1.0
+                else:
+                    from probe_carry_rule import excess_matrix
+                    ex, floor = excess_matrix(stack)
                 d_mean = stack.mean(axis=0)
                 pose = combined_sum_map(cms, "pose")
                 auto_groups, _, _, _ = auto_dof_search(pose)
