@@ -66,7 +66,8 @@ def pytest_collection_modifyitems(config, items):
         fname = getattr(item, "path", None)
         fname = fname.name if fname is not None else ""
         base = getattr(item, "originalname", None) or item.name.split("[")[0]
-        is_slow = fname in SLOW_FILES or base in SLOW_TESTS
+        is_slow = (fname in SLOW_FILES or base in SLOW_TESTS
+                   or item.get_closest_marker("slow") is not None)
         if is_slow:
             item.add_marker(pytest.mark.slow)
         else:
