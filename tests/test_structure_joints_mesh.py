@@ -241,6 +241,22 @@ class TestClustering:
         assert not fired2
         assert sorted(sorted(g) for g in groups2) == links
 
+    def test_refine_shared_stack_matches_internal(self):
+        """Passing a precomputed swap_consistency_stack must reproduce
+        refine_groups_by_carry's internal computation exactly (the
+        pipeline computes the stack once and shares it with the guard)."""
+        from autourdf_tpu.structure import (
+            refine_groups_by_carry,
+            swap_consistency_stack,
+        )
+
+        cm = make_wrist_trap_chain()
+        groups = [{0, 1}, {2}, {3, 4}, {5, 6}]
+        a = refine_groups_by_carry([cm], groups)
+        b = refine_groups_by_carry([cm], groups,
+                                   stack=swap_consistency_stack([cm]))
+        assert sorted(sorted(g) for g in a) == sorted(sorted(g) for g in b)
+
     def test_partition_rigidity_median_ignores_boundary_cluster(self):
         """One straddling cluster inside a correct 5-cluster group must
         not push the group's median within-pair excess above the floor
