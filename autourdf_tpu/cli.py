@@ -140,6 +140,9 @@ def main(argv=None) -> int:
                    help="URDF path (default: this robot's recovered URDF)")
     p.add_argument("--out-dir", type=str, default="data/view")
     p.add_argument("--sweep", action="store_true", help="also render per-joint sweep GIFs")
+    p.add_argument("--interactive", action="store_true",
+                   help="export a self-contained interactive HTML viewer "
+                        "(joint sliders + orbit camera, no dependencies)")
 
     p = sub.add_parser("all", help="dataset -> register -> urdf -> evaluate")
     _add_common(p)
@@ -201,6 +204,12 @@ def main(argv=None) -> int:
         urdf_path = args.urdf or cfg.urdf_path()
         outs = [viz.urdf_snapshot(urdf_path, os.path.join(args.out_dir, "snapshot.png"),
                                   asset_root=args.asset_root)]
+        if args.interactive:
+            from .viz_interactive import export_interactive_html
+
+            outs.append(export_interactive_html(
+                urdf_path, os.path.join(args.out_dir, "interactive.html"),
+                asset_root=args.asset_root))
         if args.sweep:
             model = load_urdf(urdf_path, asset_root=args.asset_root, load_meshes=False)
             for j in model.revolute_joints:

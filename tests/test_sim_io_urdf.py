@@ -254,3 +254,50 @@ class TestColladaNodeTransforms:
         np.testing.assert_allclose(
             md.vertices.max(0), ms.vertices.max(0), atol=2e-3
         )
+
+
+class TestInteractiveViewer:
+    def test_export_html(self, two_link, tmp_path):
+        import json
+        import re
+
+        from autourdf_tpu.viz_interactive import export_interactive_html
+
+        out = export_interactive_html(two_link, str(tmp_path / "v.html"))
+        html = open(out).read()
+        m = re.search(r"const SCENE = (\{.*?\});\n", html, re.S)
+        assert m, "embedded scene JSON not found"
+        scene = json.loads(m.group(1))
+        assert scene["root"] == "base"
+        assert set(scene["links"]) == {"base", "arm", "tip"}
+        # every link got triangles; faces index into verts
+        for name, l in scene["links"].items():
+            assert len(l["faces"]) % 3 == 0 and len(l["verts"]) % 3 == 0
+            if l["faces"]:
+                assert max(l["faces"]) < len(l["verts"]) // 3
+        joints = {j["name"]: j for j in scene["joints"]}
+        assert joints["hinge"]["type"] == "revolute"
+        assert joints["hinge"]["lower"] == -1.5
+        assert len(joints["hinge"]["origin"]) == 16
+        # no external resources: a browser needs nothing but this file
+        assert "http://" not in html and "https://" not in html
+
+    def test_decimation_reduces_dense_mesh(self, rng):
+        from autourdf_tpu.viz_interactive import _decimate
+
+        # dense unit-sphere triangulation (~20k faces)
+        n = 100
+        us, vs = np.meshgrid(np.linspace(0.1, np.pi - 0.1, n),
+                             np.linspace(0, 2 * np.pi, n), indexing="ij")
+        verts = np.stack([np.sin(us) * np.cos(vs), np.sin(us) * np.sin(vs),
+                          np.cos(us)], -1).reshape(-1, 3)
+        idx = np.arange(n * n).reshape(n, n)
+        quads = np.stack([idx[:-1, :-1], idx[1:, :-1], idx[1:, 1:], idx[:-1, 1:]], -1)
+        faces = np.concatenate([quads[..., [0, 1, 2]].reshape(-1, 3),
+                                quads[..., [0, 2, 3]].reshape(-1, 3)])
+        dv, df = _decimate(verts, faces.astype(np.int64), target_faces=1500)
+        assert 0 < len(df) <= 1800
+        assert np.all(df < len(dv))
+        # decimated surface stays on the unit sphere (centroid snap error small)
+        r = np.linalg.norm(dv[np.unique(df)], axis=1)
+        assert 0.9 < r.min() and r.max() < 1.1
