@@ -115,6 +115,10 @@ def main(argv=None) -> int:
     p.add_argument("--refine", type=str, default="chain", choices=["chain", "none"],
                    help="global kinematic-chain joint refinement (ours); none = reference parity")
     p.add_argument("--refine-steps", type=int, default=400)
+    p.add_argument("--no-chain-balance", action="store_true",
+                   help="disable per-link balanced forward Chamfer in the "
+                        "chain refinement (equal gradient weight per link; "
+                        "rescues small distal links like wrists)")
     p.add_argument("--tree", type=str, default="motion", choices=["motion", "mst"],
                    help="link tree: motion = revolute-consistency MST (ours); "
                         "mst = reference proximity MST")
@@ -166,6 +170,21 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", platform)
 
+    # Persistent XLA compilation cache: first compile of the fused
+    # registration scan costs minutes on a tunneled TPU; repeat runs with
+    # the same shapes (seed sweeps, stage re-runs) hit the disk cache.
+    # Opt out with AUTOURDF_COMPILE_CACHE=0 / point elsewhere with a path.
+    cache = os.environ.get("AUTOURDF_COMPILE_CACHE", "")
+    if cache != "0":
+        import jax
+
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              cache or os.path.expanduser("~/.cache/autourdf_xla"))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception as e:  # unsupported backend/version: run uncached
+            print(f"[cli] compilation cache disabled: {e}", file=sys.stderr)
+
     from . import workflow
 
     if args.cmd == "dataset":
@@ -184,6 +203,7 @@ def main(argv=None) -> int:
             cfg, unknown_dof=args.unknown_dof, dist_mode=args.dist_mode,
             dof_method=args.dof_method, end_video=args.end_video,
             refine=args.refine, refine_steps=args.refine_steps, tree=args.tree,
+            chain_balance=not args.no_chain_balance,
             reassign=not args.no_reassign, dof_guard=not args.no_dof_guard,
         )
         print(json.dumps({"urdf": out["urdf_path"], "links": out["num_links"],

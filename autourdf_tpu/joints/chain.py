@@ -141,6 +141,7 @@ def refine_chain(
     points_per_link: int = 768,
     dispatch_steps: int = 50,
     frame_masks: np.ndarray | None = None,  # (S, T, N) for ragged frames
+    balance: bool = False,
     verbose: bool = False,
 ) -> tuple[list[JointEstimate], ChainResult]:
     """Jointly refine every joint against the raw frames of all sequences.
@@ -149,6 +150,15 @@ def refine_chain(
     returns; joints[j] connects links by id.  Returns updated
     JointEstimates (global axis/pos at the step-0 configuration, the
     frames the URDF writer consumes).
+
+    ``balance=True`` reweights the forward (model -> frame) Chamfer term so
+    every link contributes equally regardless of its point count: the mask
+    array doubles as per-point weights in the Chamfer custom VJP, and each
+    link's points get weight ``1 / n_link``.  Without it, a small distal
+    link (e.g. a wrist carrying 1-2 clusters of a 5000-point cloud) is
+    drowned by the big links' residuals and its joint axis barely moves
+    during refinement.  The frame -> model direction keeps uniform weights
+    (the frame cloud has no link identity).
     """
     id_to_pos = {l.id: i for i, l in enumerate(links)}
     spec = ChainSpec(
@@ -222,8 +232,14 @@ def refine_chain(
               else jnp.ones(frames.shape[:3], bool))
     f0 = jnp.asarray(frames0_np)
     lp = jnp.asarray(link_pts)
-    lm = jnp.asarray(link_masks)
+    if balance:
+        counts = np.maximum(link_masks.sum(axis=1, keepdims=True), 1)
+        lm = jnp.asarray(link_masks / counts, jnp.float32)
+    else:
+        lm = jnp.asarray(link_masks)
 
+    if verbose and balance:
+        print("[chain] balanced per-link forward weighting", flush=True)
     remaining = steps
     loss = None
     while remaining > 0:

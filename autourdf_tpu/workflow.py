@@ -323,6 +323,7 @@ def run_build_urdf(
     end_video: int | None = None,
     refine: str = "chain",
     refine_steps: int = 400,
+    chain_balance: bool = True,
     tree: str = "motion",
     reassign: bool = True,
     dof_guard: bool = True,
@@ -449,7 +450,8 @@ def run_build_urdf(
         frames, fmasks = refine_frames
         joints, _ = refine_chain(
             links, joints, cms, frames, steps=refine_steps,
-            points_per_link=1024, frame_masks=fmasks, verbose=verbose,
+            points_per_link=1024, frame_masks=fmasks,
+            balance=chain_balance, verbose=verbose,
         )
 
     # link artifacts + meshes from the first sequence only (reference :726).
@@ -529,6 +531,17 @@ def run_evaluation(
         f.write(f"dir_mean_matched {cmp.dir_mean_matched:.4f}\n")
         f.write(f"dir_mean_complete {cmp.dir_mean_complete:.4f}\n")
         f.write(f"pos_mean_complete {cmp.pos_mean_complete:.6f}\n")
+    # per-joint breakdown: which gt joint maps to which predicted joint and
+    # its individual errors — the diagnosis artifact for "which joint is bad"
+    with open(os.path.join(eval_dir, "per_joint.txt"), "w") as f:
+        f.write("gt_joint pred_joint dir_err_deg pos_err_m\n")
+        jm = cmp.joint_map if cmp.joint_map is not None else []
+        dc = cmp.dir_errors_complete or []
+        pc = cmp.pos_errors_complete or []
+        for gi, pi in enumerate(jm):
+            de = f"{dc[gi]:.3f}" if gi < len(dc) else "nan"
+            pe = f"{pc[gi]:.5f}" if gi < len(pc) else "nan"
+            f.write(f"{gi} {int(pi)} {de} {pe}\n")
     if verbose:
         print(f"[eval] joint pos err {np.mean(cmp.pos_errors):.4f} m, "
               f"dir err {np.mean(cmp.dir_errors):.2f} deg "

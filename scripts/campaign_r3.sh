@@ -75,7 +75,9 @@ batch3() {  # never-run rows
 
 batch4() {  # data-limited robots with TPU-headroom budgets
   run_staged storage_hybrid storage -- --dist-mode hybrid
-  run solo12 all --robot solo12
+  # solo12: 4/13 gt links get ZERO clusters at K=30/5k points (r2) — the
+  # same starvation fps+20k fixed for allegro_16 (13/16 vs 1/16)
+  run solo12_20k all --robot solo12 --num-points 20000 --num-seg 45 --seed-mode fps
   run allegro_16_20k all --robot allegro_16 --num-points 20000 --seed-mode fps
   run allegro_20k all --robot allegro --num-points 20000 --seed-mode fps
 }

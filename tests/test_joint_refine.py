@@ -47,7 +47,8 @@ class TestFitRevolute:
 
 
 class TestChainRefine:
-    def test_improves_perturbed_axes(self, rng):
+    @pytest.mark.parametrize("balance", [False, True])
+    def test_improves_perturbed_axes(self, rng, balance):
         # synthetic 2-link chain via the CoordMap fixture machinery
         import sys, os
         sys.path.insert(0, os.path.dirname(__file__))
@@ -90,6 +91,7 @@ class TestChainRefine:
         )]
         refined, result = refine_chain(
             links, joints, [cm], frames, steps=200, points_per_link=256,
+            balance=balance,
         )
         ax = refined[0].global_axis / np.linalg.norm(refined[0].global_axis)
         err = np.degrees(np.arccos(min(1.0, abs(ax @ np.array([0, 0, 1.0])))))
