@@ -115,10 +115,11 @@ def main(argv=None) -> int:
     p.add_argument("--refine", type=str, default="chain", choices=["chain", "none"],
                    help="global kinematic-chain joint refinement (ours); none = reference parity")
     p.add_argument("--refine-steps", type=int, default=400)
-    p.add_argument("--no-chain-balance", action="store_true",
-                   help="disable per-link balanced forward Chamfer in the "
-                        "chain refinement (equal gradient weight per link; "
-                        "rescues small distal links like wrists)")
+    p.add_argument("--chain-balance", action="store_true",
+                   help="per-link balanced forward Chamfer in the chain "
+                        "refinement (equal gradient weight per link); "
+                        "measured neutral-to-negative on wx200_5, kept "
+                        "opt-in for starved-link experiments")
     p.add_argument("--tree", type=str, default="motion", choices=["motion", "mst"],
                    help="link tree: motion = revolute-consistency MST (ours); "
                         "mst = reference proximity MST")
@@ -203,7 +204,7 @@ def main(argv=None) -> int:
             cfg, unknown_dof=args.unknown_dof, dist_mode=args.dist_mode,
             dof_method=args.dof_method, end_video=args.end_video,
             refine=args.refine, refine_steps=args.refine_steps, tree=args.tree,
-            chain_balance=not args.no_chain_balance,
+            chain_balance=args.chain_balance,
             reassign=not args.no_reassign, dof_guard=not args.no_dof_guard,
         )
         print(json.dumps({"urdf": out["urdf_path"], "links": out["num_links"],

@@ -323,7 +323,7 @@ def run_build_urdf(
     end_video: int | None = None,
     refine: str = "chain",
     refine_steps: int = 400,
-    chain_balance: bool = True,
+    chain_balance: bool = False,
     tree: str = "motion",
     reassign: bool = True,
     dof_guard: bool = True,

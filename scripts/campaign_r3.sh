@@ -54,8 +54,10 @@ batch1() {  # flagship + variance sweep (canonical seed 2024 lives in data/)
   for r in wx200_5 ur5 franka pxs; do
     run "${r}" all --robot "$r"
   done
-  for s in 2025 2026; do
-    for r in wx200_5 ur5 franka pxs; do
+  # flagship seeds before the rest: the north-star metric is judged on
+  # wx200_5, so its variance bound is the most valuable row
+  for r in wx200_5 ur5 franka pxs; do
+    for s in 2025 2026; do
       run "${r}_s${s}" all --robot "$r" --seed "$s" --data-root "data_seeds/s${s}"
     done
   done
