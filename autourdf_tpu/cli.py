@@ -128,6 +128,13 @@ def main(argv=None) -> int:
     p.add_argument("--no-dof-guard", action="store_true",
                    help="skip the observation-level rigidity guard that "
                         "escalates under-split unknown-DoF picks")
+    p.add_argument("--no-dof-probe", action="store_true",
+                   help="skip the chain-fit probe ladder that arbitrates "
+                        "the unknown-DoF link count against the raw clouds")
+    p.add_argument("--prune-deg", type=float, default=2.0,
+                   help="after chain refinement, merge child links whose "
+                        "fitted joint angle range never exceeds this many "
+                        "degrees (0 disables)")
 
     p = sub.add_parser("evaluate", help="joint accuracy + resim chamfer vs gt")
     _add_common(p)
@@ -206,6 +213,7 @@ def main(argv=None) -> int:
             refine=args.refine, refine_steps=args.refine_steps, tree=args.tree,
             chain_balance=args.chain_balance,
             reassign=not args.no_reassign, dof_guard=not args.no_dof_guard,
+            dof_probe=not args.no_dof_probe, prune_deg=args.prune_deg,
         )
         print(json.dumps({"urdf": out["urdf_path"], "links": out["num_links"],
                           "dof": out["dof"]}))

@@ -40,10 +40,19 @@ def resim_chamfer(
     icp_threshold: float = 0.01,
     rng: np.random.Generator | None = None,
     seed: int = 0,
+    a_list: np.ndarray | None = None,
 ) -> tuple[np.ndarray, float, float]:
-    """Returns (losses, mean, std) over ``num_configs`` random commands."""
+    """Returns (losses, mean, std) over ``num_configs`` random commands.
+
+    ``a_list`` (num_configs, dof) overrides the random gt-frame commands —
+    used by scripts/resim_bisect.py to decompose the resim error into
+    capture floor / static geometry / per-joint contributions."""
     rng = rng or np.random.default_rng(seed)
-    a_list = rng.random((num_configs, dof)) * 2.0 - 1.0  # [-1, 1] rad
+    if a_list is None:
+        a_list = rng.random((num_configs, dof)) * 2.0 - 1.0  # [-1, 1] rad
+    else:
+        a_list = np.asarray(a_list, dtype=float)
+        num_configs = a_list.shape[0]
 
     direction = np.asarray(direction_map, dtype=float)
     joint_map = np.asarray(joint_map, dtype=int)

@@ -276,3 +276,50 @@ def refine_chain(
     result = ChainResult(jnp.asarray(u), jnp.asarray(o), jnp.asarray(theta),
                          loss if loss is not None else jnp.asarray(jnp.inf))
     return refined, result
+
+
+def prune_static_joints(
+    links,
+    joints: list[JointEstimate],
+    thetas: np.ndarray,
+    threshold: float = 0.035,
+) -> tuple[list, bool]:
+    """Merge child links whose fitted joint never moves (ours).
+
+    After the chain fit, ``thetas`` (S, T, J) carries each joint's
+    per-frame angles.  A real joint in this data moves tens of degrees in
+    its best sequence (the trajectory generator excites every gt joint
+    40-70 deg); a SPURIOUS joint — the probe ladder or the dendrogram
+    splitting one rigid link in two (franka seed-2026 k=8, op3's 13th
+    link) — fits only registration noise and its angle range stays within
+    a degree or two.  Joints whose best-sequence range is below
+    ``threshold`` (rad; default 2 deg) are removed and their child link's
+    clusters merged into the parent.
+
+    Returns (surviving LinkNodes in tree order, pruned?).  When pruned,
+    the caller must re-estimate joints and re-run the chain fit on the
+    merged structure (link mean frames change with membership).
+    """
+    ranges = (thetas.max(axis=1) - thetas.min(axis=1)).max(axis=0)
+    static = [j for j, r in enumerate(ranges) if float(r) < threshold]
+    if not static:
+        return links, False
+
+    absorb = {joints[j].child_link: joints[j].parent_link for j in static}
+
+    def resolve(lid):
+        while lid in absorb:
+            lid = absorb[lid]
+        return lid
+
+    by_id = {l.id: l for l in links}
+    for victim, target in absorb.items():
+        by_id[resolve(victim)].cluster_idx |= by_id[victim].cluster_idx
+    survivors = []
+    for l in links:  # original order preserves parent-before-child
+        if l.id in absorb:
+            continue
+        if l.parent_id is not None:
+            l.parent_id = resolve(l.parent_id)
+        survivors.append(l)
+    return survivors, True

@@ -12,7 +12,7 @@ from .clustering import (
 from .coord_map import (CoordMap, combined_sum_map,
                         refine_groups_by_carry, swap_consistency_map,
                         swap_consistency_stack)
-from .model_select import chain_fit_dof_search
+from .model_select import chain_fit_dof_search, probe_k_selection
 from .links import (
     LinkArtifacts,
     canonical_link_clouds,
@@ -43,6 +43,7 @@ __all__ = [
     "recursive_gap_split",
     "rigidity_guarded_groups",
     "chain_fit_dof_search",
+    "probe_k_selection",
     "single_linkage_components",
     "cluster_mst",
     "kinematics_tree",

@@ -327,6 +327,10 @@ def run_build_urdf(
     tree: str = "motion",
     reassign: bool = True,
     dof_guard: bool = True,
+    dof_probe: bool = True,
+    dof_probe_steps: int = 60,
+    dof_probe_points: int = 256,
+    prune_deg: float = 2.0,
     verbose: bool = True,
 ) -> dict:
     """Structure discovery -> joints -> link meshes -> URDF file.
@@ -350,7 +354,22 @@ def run_build_urdf(
     observation-level rigidity guard (structure.rigidity_guarded_groups):
     a partition whose groups still contain articulated pairs (carry
     excess above the dataset noise floor) is under-split and k is
-    escalated through the pose dendrogram until rigid."""
+    escalated through the pose dendrogram until rigid.
+
+    ``dof_probe`` (default True) arbitrates the unknown-DoF link count
+    with the chain-fit probe ladder (structure.probe_k_selection): the
+    dendrogram statistics pick k from RELATIVE merge heights and collapse
+    on smooth-continuum captures (3-seed sweep: wx200_5/franka fall to 4
+    links, ur5 to 5), and the carry guard is blind to coaxial joints
+    whose motion maps the surface onto itself (waist/wrist rolls) — while
+    the chain probe measures in absolute chamfer what a missing joint
+    costs (35-80% of the loss) vs what a spurious one buys (~2-3%).
+
+    ``prune_deg`` (default 2.0) merges away joints whose fitted angle
+    range after chain refinement stays below this many degrees in every
+    sequence (joints.chain.prune_static_joints) — the complement of the
+    probe ladder: the ladder may admit a pure over-split whose spurious
+    joint then shows no motion; 0 disables."""
     t_start = time.time()
     from .joints import estimate_joints_from_tree
     from .mesh import generate_link_meshes
@@ -413,6 +432,25 @@ def run_build_urdf(
 
     num_steps = cfg.end_steps - cfg.start_steps
     refine_frames = None
+    if unknown_dof and dof_probe:
+        from .structure import probe_k_selection
+
+        refine_frames = _load_refine_frames(cfg, end_video)
+        k_before = len(groups)
+        probe_groups, _ = probe_k_selection(
+            sum_map, cms, refine_frames[0], k0=k_before,
+            frame_masks=refine_frames[1], carry_stack=carry_stack,
+            probe_steps=dof_probe_steps, points_per_link=dof_probe_points,
+            verbose=verbose,
+        )
+        if len(probe_groups) != k_before:
+            # keep the main-path partition when the probe confirms k —
+            # it already carries the guard's boundary refinement
+            groups = probe_groups
+            dof = len(groups) - 1
+            if verbose:
+                print(f"[urdf] probe ladder overrode DoF pick: "
+                      f"links={len(groups)} dof={dof}")
     if tree == "motion":
         from .structure import motion_tree
 
@@ -443,16 +481,34 @@ def run_build_urdf(
     )
 
     if refine == "chain" and joints:
-        from .joints.chain import refine_chain
+        from .joints.chain import prune_static_joints, refine_chain
 
         if refine_frames is None:
             refine_frames = _load_refine_frames(cfg, end_video)
         frames, fmasks = refine_frames
-        joints, _ = refine_chain(
+        joints, chain_res = refine_chain(
             links, joints, cms, frames, steps=refine_steps,
             points_per_link=1024, frame_masks=fmasks,
             balance=chain_balance, verbose=verbose,
         )
+        if prune_deg > 0:
+            links, pruned = prune_static_joints(
+                links, joints, np.asarray(chain_res.thetas),
+                threshold=np.radians(prune_deg))
+            if pruned:
+                # membership changed -> link frames changed; redo the
+                # estimate + fit on the merged structure
+                dof = len(links) - 1
+                if verbose:
+                    print(f"[urdf] pruned static joint(s): links={len(links)} "
+                          f"dof={dof}")
+                joints = estimate_joints_from_tree(
+                    links, cms, 0, cfg.end_steps - cfg.start_steps, interval=4)
+                joints, _ = refine_chain(
+                    links, joints, cms, frames, steps=refine_steps,
+                    points_per_link=1024, frame_masks=fmasks,
+                    balance=chain_balance, verbose=verbose,
+                )
 
     # link artifacts + meshes from the first sequence only (reference :726).
     # Order by link id: the URDF writer references {id:04}.stl, while the

@@ -63,6 +63,8 @@ def pipeline_run(tmp_path_factory):
         seq_dirs = workflow.run_dataset(cfg, epochs=2)
         reg_stats = workflow.run_registration(cfg, chamfer_backend="xla", verbose=False)
         urdf_out = workflow.run_build_urdf(cfg, unknown_dof=True, end_video=2,
+                                           dof_probe_steps=20,
+                                           dof_probe_points=128,
                                            verbose=False)
         eval_out = workflow.run_evaluation(cfg, verbose=False, num_configs=1)
     finally:

@@ -100,3 +100,67 @@ class TestChainRefine:
         gp = refined[0].global_pos[:3]
         perp = gp - (gp @ np.array([0, 0, 1.0])) * np.array([0, 0, 1.0])
         assert np.linalg.norm(perp) < 0.05
+
+
+class TestPruneStaticJoints:
+    def _mk(self):
+        from autourdf_tpu.structure.tree import LinkNode
+
+        links = [
+            LinkNode(id=0, cluster_idx={0, 1}, parent_id=None),
+            LinkNode(id=1, cluster_idx={2}, parent_id=0),
+            LinkNode(id=2, cluster_idx={3, 4}, parent_id=1),
+        ]
+        mk_joint = lambda p, c: JointEstimate(
+            parent_link=p, child_link=c, local_axis=np.array([0, 0, 1.0]),
+            local_pos=np.array([0, 0, 0, 1.0]), global_pos=np.zeros(3),
+            global_axis=np.array([0, 0, 1.0]))
+        return links, mk_joint
+
+    def test_static_leaf_joint_merged(self):
+        from autourdf_tpu.joints.chain import prune_static_joints
+
+        links, mk = self._mk()
+        joints = [mk(0, 1), mk(1, 2)]
+        thetas = np.zeros((2, 5, 2), np.float32)
+        thetas[:, :, 0] = np.linspace(0, 0.5, 5)   # joint 0 moves
+        thetas[0, :, 1] = 0.01 * np.arange(5) / 5  # joint 1: noise only
+        out, pruned = prune_static_joints(links, joints, thetas)
+        assert pruned
+        assert [l.id for l in out] == [0, 1]
+        assert out[1].cluster_idx == {2, 3, 4}
+
+    def test_static_middle_joint_reparents_grandchild(self):
+        from autourdf_tpu.joints.chain import prune_static_joints
+
+        links, mk = self._mk()
+        joints = [mk(0, 1), mk(1, 2)]
+        thetas = np.zeros((1, 5, 2), np.float32)
+        thetas[:, :, 1] = np.linspace(0, 0.5, 5)   # only the leaf moves
+        out, pruned = prune_static_joints(links, joints, thetas)
+        assert pruned
+        assert [l.id for l in out] == [0, 2]
+        assert out[0].cluster_idx == {0, 1, 2}
+        assert out[1].parent_id == 0
+
+    def test_all_moving_untouched(self):
+        from autourdf_tpu.joints.chain import prune_static_joints
+
+        links, mk = self._mk()
+        joints = [mk(0, 1), mk(1, 2)]
+        thetas = np.tile(np.linspace(0, 0.5, 5)[None, :, None], (1, 1, 2))
+        out, pruned = prune_static_joints(links, joints, thetas.astype(np.float32))
+        assert not pruned
+        assert out is links
+
+    def test_best_sequence_counts(self):
+        """A joint excited in only ONE of several sequences survives."""
+        from autourdf_tpu.joints.chain import prune_static_joints
+
+        links, mk = self._mk()
+        joints = [mk(0, 1), mk(1, 2)]
+        thetas = np.zeros((3, 5, 2), np.float32)
+        thetas[:, :, 0] = np.linspace(0, 0.5, 5)
+        thetas[2, :, 1] = np.linspace(0, 0.4, 5)   # seq 2 only
+        _, pruned = prune_static_joints(links, joints, thetas)
+        assert not pruned

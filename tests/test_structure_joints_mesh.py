@@ -294,6 +294,93 @@ class TestClustering:
             assert int(nls[0]) == 2
 
 
+class TestLadderSelect:
+    """Fixtures are the MEASURED probe-loss curves from the round-3 seed
+    sweep (scripts/probe_k_ladder.py; see structure/model_select.py)."""
+
+    def _run(self, curve, k0, **kw):
+        from autourdf_tpu.structure.model_select import ladder_select
+
+        calls = []
+
+        def loss(k):
+            calls.append(k)
+            return curve.get(k, curve[max(curve)])
+
+        return ladder_select(loss, k0, **kw), calls
+
+    def test_wx200_seed2026_flat_before_drop(self):
+        # statistical pick 4; flat 4->5, big drop at 6, over-split drift
+        # after — the lookahead must walk past the flat
+        curve = {3: 0.0531, 4: 0.0296, 5: 0.0295, 6: 0.0187, 7: 0.0182,
+                 8: 0.0177, 9: 0.0174}
+        k, calls = self._run(curve, 4)
+        assert k == 6
+        assert max(calls) <= 9  # bounded window, no full-range scan
+
+    def test_correct_pick_confirmed_cheaply(self):
+        # base-seed shape: pick 6 is right; probe must confirm with a
+        # handful of calls and not drift into the over-split tail
+        curve = {5: 0.0295, 6: 0.0187, 7: 0.0182, 8: 0.0177, 9: 0.0174,
+                 10: 0.0172}
+        k, calls = self._run(curve, 6)
+        assert k == 6
+        assert len(set(calls)) <= 6
+
+    def test_over_split_pick_walks_down(self):
+        # pick 9 on the same landscape: descending is flat until 6,
+        # significant increase at 5 stops the walk -> select 6
+        curve = {5: 0.0295, 6: 0.0187, 7: 0.0182, 8: 0.0177, 9: 0.0174,
+                 10: 0.0172, 11: 0.0171, 12: 0.0170}
+        k, _ = self._run(curve, 9)
+        assert k == 6
+
+    def test_catastrophic_underpick_two_drops(self):
+        # two hidden joints (franka-seed shape): drops at 5 AND 7 —
+        # the LAST significant drop wins
+        curve = {3: 0.09, 4: 0.085, 5: 0.05, 6: 0.048, 7: 0.030, 8: 0.029,
+                 9: 0.0285, 10: 0.028}
+        k, _ = self._run(curve, 4)
+        assert k == 7
+
+    def test_one_dof_object_all_flat(self):
+        # laptop shape: pick 2 correct, everything above is drift;
+        # no significant drop in window -> smallest within margin
+        curve = {2: 0.040, 3: 0.0398, 4: 0.0395, 5: 0.0393}
+        k, _ = self._run(curve, 2, k_min=2)
+        assert k == 2
+
+    def test_laptop_drift_not_mistaken_for_joints(self):
+        """Measured laptop curve (campaign r3): the probe loss declines
+        ~8-10% per spurious extra link (capture noise on large surfaces).
+        A fixed 10% threshold picked k=4; the drift-normalized rule must
+        keep the statistical pick 2."""
+        curve = {2: 0.08849, 3: 0.08076, 4: 0.07344, 5: 0.06798,
+                 6: 0.0634, 7: 0.0593}
+        k, _ = self._run(curve, 2, k_min=2)
+        assert k == 2
+
+    def test_real_drop_beats_matching_drift(self):
+        # a 25% drop over 4% drift is real even though both exceed eps
+        curve = {4: 0.050, 5: 0.048, 6: 0.0384, 7: 0.0369, 8: 0.0355,
+                 9: 0.0341}
+        k, _ = self._run(curve, 4)
+        assert k == 6
+
+    def test_inf_candidates_skipped(self):
+        from autourdf_tpu.structure.model_select import ladder_select
+
+        curve = {3: np.inf, 4: 0.03, 5: 0.029, 6: 0.0185, 7: 0.018,
+                 8: 0.0178, 9: 0.0177}
+        k = ladder_select(lambda k: curve.get(k, 0.0175), 4)
+        assert k == 6
+
+    def test_all_inf_returns_none(self):
+        from autourdf_tpu.structure.model_select import ladder_select
+
+        assert ladder_select(lambda k: np.inf, 4) is None
+
+
 class TestTree:
     def test_hinge_tree(self):
         cm = make_hinge_coordmap()
