@@ -114,7 +114,10 @@ def main(argv=None) -> int:
                    help="auto = gap when decisive else silhouette; silhouette = reference parity")
     p.add_argument("--refine", type=str, default="chain", choices=["chain", "none"],
                    help="global kinematic-chain joint refinement (ours); none = reference parity")
-    p.add_argument("--refine-steps", type=int, default=400)
+    p.add_argument("--refine-steps", type=int, default=1200,
+                   help="chain-refinement Adam steps (the wx200_5 loss "
+                        "plateaus by ~600; 1200 cut its axis error "
+                        "3.10 -> 1.84 deg over the old 400)")
     p.add_argument("--chain-balance", action="store_true",
                    help="per-link balanced forward Chamfer in the chain "
                         "refinement (equal gradient weight per link); "

@@ -26,6 +26,116 @@ from ..urdf.parser import load_urdf
 # joints), never override a genuine distinction.
 TIE_BREAK_SCALE = 1e-3
 
+# Tree-consistency repair weight (per violated ancestor pair), as a
+# fraction of the finite-cost spread.  Above the tie-breaker (it must win
+# against depth-order noise) and far below 1 (a swap that fixes even ~20
+# violations cannot override a genuine geometric distinction).  See
+# _repair_assignment_consistency.
+VIOLATION_SCALE = 3e-3
+
+
+def _joint_ancestor_matrix(model, count: int | None = None) -> np.ndarray:
+    """anc[i, j] = revolute joint i lies on joint j's path to the root.
+
+    Uses ALL joints (fixed included) for link parentage, then checks
+    whether joint i's child link is an ancestor of (or equal to) joint
+    j's parent link."""
+    js = model.revolute_joints[:count] if count else model.revolute_joints
+    parent_of = {j.child: j.parent for j in model.joints}
+    paths = []
+    for j in js:
+        path = set()
+        link = j.parent
+        while link is not None:
+            path.add(link)
+            link = parent_of.get(link)
+        paths.append(path)
+    n = len(js)
+    anc = np.zeros((n, n), dtype=bool)
+    for i in range(n):
+        for jj in range(n):
+            anc[i, jj] = i != jj and js[i].child in paths[jj]
+    return anc
+
+
+def _repair_assignment_consistency(
+    cost: np.ndarray,
+    joint_map: np.ndarray,
+    anc_gt: np.ndarray,
+    anc_pred: np.ndarray,
+    mu: float,
+) -> np.ndarray:
+    """Swap assignments between gt joints while it reduces
+    geometric cost + mu * (ancestor-relation violations).
+
+    The Hungarian step assigns each joint independently, so structurally
+    IMPOSSIBLE matchings survive when geometry is symmetric: bolt's two
+    legs have collinear HAA axes (one shared hip line) and collinear HFE
+    axes, and the independent assignment crossed the legs — gt FL_HAA
+    landed on one predicted leg chain while FL_HFE/KFE landed on the
+    other.  Every per-joint error stayed under 3 deg, yet commanding a
+    single gt joint split the posture across both predicted legs (resim
+    0.109 with near-perfect joints; scripts/resim_bisect.py isolated it
+    to the hip-flexion pair).  Requiring the matching to preserve
+    ancestor relations between the two trees removes exactly this class
+    of error, and the mu scale keeps it from ever overriding a genuine
+    geometric distinction."""
+    n = len(joint_map)
+    jm = joint_map.copy()
+
+    def total(jm_):
+        t = 0.0
+        for g in range(n):
+            if 0 <= jm_[g] < cost.shape[1]:
+                t += cost[g, jm_[g]]
+        v = 0
+        for a in range(n):
+            ma = jm_[a]
+            if ma < 0:
+                continue
+            for b in range(n):
+                mb = jm_[b]
+                if b == a or mb < 0:
+                    continue
+                if anc_gt[a, b] != anc_pred[ma, mb]:
+                    v += 1
+        return t + mu * v
+
+    best = total(jm)
+    for _ in range(n * n):
+        improved = False
+        for a in range(n):
+            for b in range(a + 1, n):
+                cand = jm.copy()
+                cand[a], cand[b] = cand[b], cand[a]
+                val = total(cand)
+                if val < best - 1e-15:
+                    jm, best, improved = cand, val, True
+        if not improved:
+            # single swaps between mirror-symmetric chains are exactly
+            # cost-neutral AND violation-neutral (bolt: swapping only the
+            # HFE pair leaves the KFE pair crossed), so the crossed-chain
+            # minimum sits behind a plateau reachable only by a
+            # coordinated pair of transpositions — search those before
+            # giving up
+            pairs = [(a, b) for a in range(n) for b in range(a + 1, n)]
+            for i, (a, b) in enumerate(pairs):
+                for c, d in pairs[i + 1:]:
+                    if len({a, b, c, d}) < 4:
+                        continue
+                    cand = jm.copy()
+                    cand[a], cand[b] = cand[b], cand[a]
+                    cand[c], cand[d] = cand[d], cand[c]
+                    val = total(cand)
+                    if val < best - 1e-15:
+                        jm, best, improved = cand, val, True
+                        break
+                if improved:
+                    break
+        if not improved:
+            break
+    return jm
+
 
 def joint_error(pos_a, uv_a, pos_b, uv_b) -> tuple[float, float]:
     """(normal distance between axis lines, angle between axes in deg)."""
@@ -150,6 +260,18 @@ def compare_joints(
         rows, cols = linear_sum_assignment(cost)
         joint_map = np.full(n, -1, dtype=int)
         joint_map[rows] = cols
+        # structural repair: geometric symmetry (collinear left/right leg
+        # axes) can cross kinematic chains; enforce ancestor consistency
+        pred_model = load_urdf(pred_urdf_path, asset_root=asset_root,
+                               load_meshes=False)
+        anc_gt = _joint_ancestor_matrix(gt_model, n)
+        anc_pred = _joint_ancestor_matrix(pred_model)
+        real = cost[cost < 1e5]
+        spread = float(real.max() - real.min()) if real.size else 1.0
+        joint_map = _repair_assignment_consistency(
+            cost, joint_map, anc_gt, anc_pred,
+            mu=VIOLATION_SCALE * max(spread, 1e-9),
+        )
     else:
         joint_map = np.asarray(joint_map, dtype=int)
 

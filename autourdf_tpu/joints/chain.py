@@ -322,4 +322,12 @@ def prune_static_joints(
         if l.parent_id is not None:
             l.parent_id = resolve(l.parent_id)
         survivors.append(l)
+    # renumber ids contiguously: downstream consumers (mesh {id:04}.stl
+    # naming, the URDF writer's color table) index by link id
+    renum = {l.id: i for i, l in enumerate(sorted(survivors,
+                                                  key=lambda l: l.id))}
+    for l in survivors:
+        l.id = renum[l.id]
+        if l.parent_id is not None:
+            l.parent_id = renum[l.parent_id]
     return survivors, True

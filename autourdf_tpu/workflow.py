@@ -322,7 +322,7 @@ def run_build_urdf(
     dof_method: str = "auto",
     end_video: int | None = None,
     refine: str = "chain",
-    refine_steps: int = 400,
+    refine_steps: int = 1200,
     chain_balance: bool = False,
     tree: str = "motion",
     reassign: bool = True,

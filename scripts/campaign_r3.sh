@@ -84,11 +84,43 @@ batch4() {  # data-limited robots with TPU-headroom budgets
   run allegro_20k all --robot allegro --num-points 20000 --seed-mode fps
 }
 
+rebuild() {
+  # re-run urdf+evaluate only (registration artifacts kept) — used by the
+  # refresh batch after pipeline changes (probe ladder, prune, 1200-step
+  # refine) so the whole results table reflects the final code
+  local name=$1; local robot=$2; shift 2
+  if [ -f "$LOG/$name.done" ]; then echo "== skip $name (done)"; return 0; fi
+  echo "== $name (rebuild): $(date -u +%H:%M:%S) :: $*"
+  {
+    time python -m autourdf_tpu.cli urdf --robot "$robot" --unknown-dof --end-video 5 "$@" &&
+    time python -m autourdf_tpu.cli evaluate --robot "$robot" "$@"
+  } > "$LOG/$name.log" 2>&1
+  if [ $? = 0 ]; then
+    touch "$LOG/$name.done"
+    grep -E '^\{' "$LOG/$name.log" | tail -1
+  else
+    echo "!! FAIL $name (see $LOG/$name.log)"
+  fi
+}
+
+batch5() {  # final-code refresh of every completed registration
+  # faucet included: its batch3 run predates the 1200-step refine default
+  for r in wx200_5 ur5 franka pxs wx200_4 solo8 bolt laptop dishwasher faucet; do
+    rebuild "${r}_rb" "$r"
+  done
+  for r in wx200_5 ur5 franka pxs; do
+    for s in 2025 2026; do
+      rebuild "${r}_s${s}_rb" "$r" --seed "$s" --data-root "data_seeds/s${s}"
+    done
+  done
+}
+
 case "${1:-all}" in
   batch1) batch1;;
   batch2) batch2;;
   batch3) batch3;;
   batch4) batch4;;
+  batch5) batch5;;
   all) batch1; batch2; batch3; batch4;;
 esac
 echo "campaign done $(date -u +%H:%M:%S)"

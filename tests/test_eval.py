@@ -213,3 +213,99 @@ class TestReferenceJointMapProtocol:
                                joint_map=np.arange(18))
         assert max(ident.dir_errors) < 1e-6
         assert float(np.mean(cmp.pos_errors)) > float(np.mean(ident.pos_errors))
+
+
+BIPED_GT = """<?xml version="1.0"?>
+<robot name="b">
+  <link name="base"/>
+  <link name="thigh_l"/><link name="shank_l"/>
+  <link name="thigh_r"/><link name="shank_r"/>
+  <joint name="hip_l" type="revolute">
+    <parent link="base"/><child link="thigh_l"/>
+    <origin xyz="0 0.1 0"/><axis xyz="0 1 0"/>
+    <limit lower="-1" upper="1" effort="1" velocity="1"/>
+  </joint>
+  <joint name="knee_l" type="revolute">
+    <parent link="thigh_l"/><child link="shank_l"/>
+    <origin xyz="0 0 -0.2"/><axis xyz="0 1 0"/>
+    <limit lower="-1" upper="1" effort="1" velocity="1"/>
+  </joint>
+  <joint name="hip_r" type="revolute">
+    <parent link="base"/><child link="thigh_r"/>
+    <origin xyz="0 -0.1 0"/><axis xyz="0 1 0"/>
+    <limit lower="-1" upper="1" effort="1" velocity="1"/>
+  </joint>
+  <joint name="knee_r" type="revolute">
+    <parent link="thigh_r"/><child link="shank_r"/>
+    <origin xyz="0 0 -0.2"/><axis xyz="0 1 0"/>
+    <limit lower="-1" upper="1" effort="1" velocity="1"/>
+  </joint>
+</robot>
+"""
+
+# identical geometry, but joints listed breadth-first (both hips, then
+# both knees) — the discovered-URDF ordering that sent the depth
+# tie-breaker across bolt's legs
+BIPED_PRED = """<?xml version="1.0"?>
+<robot name="b">
+  <link name="base"/>
+  <link name="thigh_a"/><link name="shank_a"/>
+  <link name="thigh_b"/><link name="shank_b"/>
+  <joint name="hip_a" type="revolute">
+    <parent link="base"/><child link="thigh_a"/>
+    <origin xyz="0 0.1 0"/><axis xyz="0 1 0"/>
+    <limit lower="-1" upper="1" effort="1" velocity="1"/>
+  </joint>
+  <joint name="hip_b" type="revolute">
+    <parent link="base"/><child link="thigh_b"/>
+    <origin xyz="0 -0.1 0"/><axis xyz="0 1 0"/>
+    <limit lower="-1" upper="1" effort="1" velocity="1"/>
+  </joint>
+  <joint name="knee_a" type="revolute">
+    <parent link="thigh_a"/><child link="shank_a"/>
+    <origin xyz="0 0 -0.2"/><axis xyz="0 1 0"/>
+    <limit lower="-1" upper="1" effort="1" velocity="1"/>
+  </joint>
+  <joint name="knee_b" type="revolute">
+    <parent link="thigh_b"/><child link="shank_b"/>
+    <origin xyz="0 0 -0.2"/><axis xyz="0 1 0"/>
+    <limit lower="-1" upper="1" effort="1" velocity="1"/>
+  </joint>
+</robot>
+"""
+
+
+class TestChainConsistentMatching:
+    def test_symmetric_biped_not_crossed(self, tmp_path):
+        """bolt regression: both hip axes share one LINE (and both knee
+        axes another), so geometry cannot separate the legs and the
+        independent Hungarian assignment crossed them — each per-joint
+        error tiny, but commanding one gt joint split the posture across
+        two predicted legs (resim 0.109).  The matching must preserve
+        ancestor relations: whatever pred leg gt's left hip lands on,
+        gt's left knee must land DOWN-CHAIN of it."""
+        from autourdf_tpu.eval.joints_eval import _joint_ancestor_matrix
+        from autourdf_tpu.urdf.parser import load_urdf
+
+        g = tmp_path / "gt.urdf"
+        g.write_text(BIPED_GT)
+        p = tmp_path / "pred.urdf"
+        p.write_text(BIPED_PRED)
+        cmp = compare_joints(str(p), str(g), dof=4, offset=np.zeros(4))
+        anc_p = _joint_ancestor_matrix(load_urdf(str(p), load_meshes=False))
+        jm = cmp.joint_map
+        assert anc_p[jm[0], jm[1]], jm   # left hip above left knee
+        assert anc_p[jm[2], jm[3]], jm   # right hip above right knee
+        assert max(cmp.pos_errors) < 1e-9
+        assert max(cmp.dir_errors) < 1e-6
+
+    def test_ancestor_matrix(self, tmp_path):
+        from autourdf_tpu.eval.joints_eval import _joint_ancestor_matrix
+        from autourdf_tpu.urdf.parser import load_urdf
+
+        g = tmp_path / "gt.urdf"
+        g.write_text(BIPED_GT)
+        anc = _joint_ancestor_matrix(load_urdf(str(g), load_meshes=False))
+        expect = np.zeros((4, 4), bool)
+        expect[0, 1] = expect[2, 3] = True
+        assert (anc == expect).all()

@@ -139,8 +139,10 @@ class TestPruneStaticJoints:
         thetas[:, :, 1] = np.linspace(0, 0.5, 5)   # only the leaf moves
         out, pruned = prune_static_joints(links, joints, thetas)
         assert pruned
-        assert [l.id for l in out] == [0, 2]
+        # ids renumbered contiguously (mesh files + writer colors index by id)
+        assert [l.id for l in out] == [0, 1]
         assert out[0].cluster_idx == {0, 1, 2}
+        assert out[1].cluster_idx == {3, 4}
         assert out[1].parent_id == 0
 
     def test_all_moving_untouched(self):
