@@ -67,6 +67,12 @@ def resim_chamfer(
             a_pred[:, joint_map[gi]] = a_list[:, gi] * direction[gi]
     a_gt = a_list + np.asarray(offset)[None, :dof]
 
+    # IDENTICAL camera rigs for both envs, matching the reference protocol
+    # (its two SimEnvs place cameras deterministically the same way,
+    # Sim/evaluation.py:272-310).  With independent random rigs the metric
+    # floor is occlusion variance, not model error: gt-vs-gt on dishwasher
+    # measures 0.0925 chamfer under different rigs (scripts/resim_bisect.py)
+    # -- above every arm's full resim score.
     env_pred = KinematicEnv.create(
         pred_urdf_path, base_orientation=pred_ori, dof=max(pred_dof, 1), radius=radius,
         num_cameras=num_cameras, global_scale=global_scale,
@@ -75,7 +81,7 @@ def resim_chamfer(
     env_gt = KinematicEnv.create(
         gt_urdf_path, base_orientation=sim_ori, dof=dof, radius=radius,
         num_cameras=num_cameras, asset_root=asset_root,
-        camera_rng=np.random.default_rng(seed + 2),
+        camera_rng=np.random.default_rng(seed + 1),
     )
 
     losses = []

@@ -97,22 +97,40 @@ def probe_k_selection(
     def loss(k: int) -> float:
         if k not in loss_cache:
             groups = partition(k)
+            # probe BOTH tree hypotheses and keep the better fit: judging
+            # every k through one topology biases the ladder (ur5: the
+            # proximity MST's composite wrist inflates the true k=6 to
+            # 0.060 while the motion tree fits it at 0.029 — under
+            # MST-only scoring the ladder over-split to k=7 to compensate)
+            candidates = []
             try:
-                links = kinematics_tree(cms[0], groups, cluster_mst(cms[0]))
-                joints = estimate_joints_from_tree(links, cms, 0, T, interval=4)
-                if not joints:
-                    val = np.inf
-                else:
+                candidates.append(
+                    kinematics_tree(cms[0], groups, cluster_mst(cms[0])))
+            except Exception:
+                pass
+            try:
+                from .tree import motion_tree
+
+                candidates.append(motion_tree(cms, groups, T))
+            except Exception:
+                pass
+            val = np.inf
+            for links in candidates:
+                try:
+                    joints = estimate_joints_from_tree(links, cms, 0, T,
+                                                       interval=4)
+                    if not joints:
+                        continue
                     _, result = refine_chain(
                         links, joints, cms, frames, steps=probe_steps,
                         points_per_link=points_per_link,
                         frame_masks=frame_masks,
                     )
-                    val = float(result.loss)
-            except Exception as e:  # degenerate candidate (cyclic graph...)
-                if verbose:
-                    print(f"[kprobe] k={k}: failed ({type(e).__name__})")
-                val = np.inf
+                    val = min(val, float(result.loss))
+                except Exception as e:  # degenerate candidate (cyclic...)
+                    if verbose:
+                        print(f"[kprobe] k={k}: candidate failed "
+                              f"({type(e).__name__})")
             loss_cache[k] = val
             if verbose and np.isfinite(val):
                 print(f"[kprobe] k={k} (eff {len(groups)}): "
