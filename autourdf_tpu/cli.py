@@ -261,7 +261,8 @@ def main(argv=None) -> int:
         print(json.dumps({"urdf": out["urdf_path"], "dof": out["dof"],
                           "dir_err_deg": ev["dir_mean"],
                           "pos_err_m": ev["pos_mean"],
-                          "chamfer": ev["chamfer_mean"]}))
+                          "chamfer": ev["chamfer_mean"],
+                          "chamfer_floor": ev["chamfer_floor"]}))
     return 0
 
 

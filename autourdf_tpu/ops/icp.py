@@ -30,6 +30,23 @@ class ICPResult(NamedTuple):
     rmse: jax.Array       # inlier RMSE
 
 
+def _orthonormalize(R: jax.Array, steps: int = 4) -> jax.Array:
+    """Project a near-rotation onto SO(3) via Newton-Schulz polar iteration.
+
+    XLA's jitted f32 SVD is an iterative algorithm whose U/V factors are
+    orthogonal only to ~2e-3 for near-isotropic 3x3 covariances (LAPACK
+    at the same f32 gives 1e-7) — the Kabsch "rotation" built from them
+    SHRINKS (diag ~0.97-0.99), and composed over 50 ICP iterations on
+    identical clouds the accumulated transform deviated 0.08 from
+    identity, inflating the eval alignment floor by ~0.05 chamfer on
+    large objects.  X <- 1.5 X - 0.5 X X^T X converges quadratically to
+    the orthogonal polar factor and preserves the determinant sign, so
+    the svd's reflection handling survives."""
+    for _ in range(steps):
+        R = 1.5 * R - 0.5 * _einsum("ij,kj,kl->il", R, R, R)
+    return R
+
+
 def _kabsch(src: jax.Array, dst: jax.Array, w: jax.Array) -> jax.Array:
     """Weighted least-squares rigid transform src -> dst, (N,3)x(N,3)x(N,)."""
     wsum = jnp.maximum(jnp.sum(w), 1e-12)
@@ -42,7 +59,7 @@ def _kabsch(src: jax.Array, dst: jax.Array, w: jax.Array) -> jax.Array:
     U, _, Vt = jnp.linalg.svd(H)
     det = jnp.linalg.det(Vt.T @ U.T)
     D = jnp.diag(jnp.asarray([1.0, 1.0, 1.0])).at[2, 2].set(det)
-    rot = Vt.T @ D @ U.T
+    rot = _orthonormalize(Vt.T @ D @ U.T)
     t = dst_mean - rot @ src_mean
     T = jnp.eye(4).at[:3, :3].set(rot).at[:3, 3].set(t)
     return T

@@ -623,6 +623,25 @@ def run_evaluation(
     )
     if verbose:
         print(f"[eval] resim chamfer {mean:.4f} +- {std:.4f}")
+    # metric context: the same protocol's gt-vs-gt score — capture +
+    # sampling + unobservable-surface floor.  Large objects are
+    # floor-dominated (dishwasher: floor 0.056 at 10k points, with the
+    # bottom surface never visible to the camera sphere), so a resim
+    # number is only interpretable next to its floor.
+    gt_path = robot.gt_path(asset_root)
+    rng_floor = np.random.default_rng(cfg.seed)
+    _, floor_mean, _ = resim_chamfer(
+        pred_urdf_path=gt_path, gt_urdf_path=gt_path, dof=robot.dof,
+        offset=np.zeros(robot.dof),
+        joint_map=np.arange(robot.dof), direction_map=[1.0] * robot.dof,
+        sim_ori=robot.sim_ori, pred_ori=robot.sim_ori,
+        radius=robot.cam_dist, num_cameras=cfg.num_cameras,
+        asset_root=asset_root, seed=cfg.seed, num_configs=num_configs,
+        a_list=rng_floor.random((num_configs, robot.dof)) * 2.0 - 1.0,
+    )
+    np.savetxt(os.path.join(eval_dir, "floor.txt"), [floor_mean])
+    if verbose:
+        print(f"[eval] resim floor (gt-vs-gt) {floor_mean:.4f}")
     with _telemetry(cfg).stage("evaluate", robot=cfg.robot,
                                dir_mean=round(float(np.mean(cmp.dir_errors)), 3)
                                if cmp.dir_errors else None,
@@ -641,4 +660,5 @@ def run_evaluation(
         "chamfer_losses": losses.tolist(),
         "chamfer_mean": mean,
         "chamfer_std": std,
+        "chamfer_floor": floor_mean,
     }

@@ -104,8 +104,11 @@ rebuild() {
 }
 
 batch5() {  # final-code refresh of every completed registration
-  # faucet included: its batch3 run predates the 1200-step refine default
-  for r in wx200_5 ur5 franka pxs wx200_4 solo8 bolt laptop dishwasher faucet; do
+  # batch2/3 robots included: their first runs predate the final selection
+  # rules (drift-normalized ladder, min-over-trees, prune renumbering,
+  # 1200-step refine, tree-consistent matcher)
+  for r in wx200_5 ur5 franka pxs wx200_4 solo8 bolt laptop dishwasher \
+           faucet toilet trashcan op3; do
     rebuild "${r}_rb" "$r"
   done
   for r in wx200_5 ur5 franka pxs; do
