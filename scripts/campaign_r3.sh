@@ -87,13 +87,19 @@ batch4() {  # data-limited robots with TPU-headroom budgets
 rebuild() {
   # re-run urdf+evaluate only (registration artifacts kept) — used by the
   # refresh batch after pipeline changes (probe ladder, prune, 1200-step
-  # refine) so the whole results table reflects the final code
+  # refine) so the whole results table reflects the final code.
+  # args after '--' go to the urdf stage only (e.g. --dist-mode).
   local name=$1; local robot=$2; shift 2
+  local common=() urdfonly=() seen=0
+  for a in "$@"; do
+    if [ "$a" = "--" ]; then seen=1; continue; fi
+    if [ $seen = 0 ]; then common+=("$a"); else urdfonly+=("$a"); fi
+  done
   if [ -f "$LOG/$name.done" ]; then echo "== skip $name (done)"; return 0; fi
   echo "== $name (rebuild): $(date -u +%H:%M:%S) :: $*"
   {
-    time python -m autourdf_tpu.cli urdf --robot "$robot" --unknown-dof --end-video 5 "$@" &&
-    time python -m autourdf_tpu.cli evaluate --robot "$robot" "$@"
+    time python -m autourdf_tpu.cli urdf --robot "$robot" --unknown-dof --end-video 5 ${common[@]+"${common[@]}"} ${urdfonly[@]+"${urdfonly[@]}"} &&
+    time python -m autourdf_tpu.cli evaluate --robot "$robot" ${common[@]+"${common[@]}"}
   } > "$LOG/$name.log" 2>&1
   if [ $? = 0 ]; then
     touch "$LOG/$name.done"
@@ -116,6 +122,11 @@ batch5() {  # final-code refresh of every completed registration
       rebuild "${r}_s${s}_rb" "$r" --seed "$s" --data-root "data_seeds/s${s}"
     done
   done
+  # batch4's special-flag runs (flags repeated for path resolution)
+  rebuild storage_hybrid_rb storage -- --dist-mode hybrid
+  rebuild solo12_20k_rb solo12 --num-points 20000 --num-seg 45
+  rebuild allegro_16_20k_rb allegro_16 --num-points 20000
+  rebuild allegro_20k_rb allegro --num-points 20000
 }
 
 case "${1:-all}" in
