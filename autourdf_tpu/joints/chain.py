@@ -240,6 +240,15 @@ def refine_chain(
 
     if verbose and balance:
         print("[chain] balanced per-link forward weighting", flush=True)
+    # keep each compiled dispatch near the known-good duration (wx200:
+    # L=6 x 1024 pts x 5000-point frames at 50 steps/dispatch): chamfer
+    # cost scales with L*P*N, and a single XLA execution past ~5 s can
+    # wedge the tunneled device (solo12 at 20k points faulted every
+    # probe after the first oversized dispatch)
+    work = L * points_per_link * float(frames.shape[2])
+    base = 6 * 1024 * 5000.0
+    dispatch_steps = int(np.clip(dispatch_steps * base / max(work, 1.0),
+                                 4, dispatch_steps))
     remaining = steps
     loss = None
     while remaining > 0:
