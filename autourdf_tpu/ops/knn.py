@@ -173,11 +173,20 @@ def _bidir_vmem_ok(n: int, m: int, tx: int) -> bool:
     """The distance block, the (3, M) reference block, AND the (tiles, M)
     column outputs must fit VMEM; unlike the unidirectional kernel,
     shrinking tx grows the column blocks, so past a point the only option
-    is the two-pass fallback."""
+    is the two-pass fallback.
+
+    Past mp = 16384 Mosaic materializes the distance block TWICE (compile
+    probes, /tmp -> scripts/probe_kernel_vmem.py: tx=128 x 20480 stacks
+    18.9-19.1 MiB and is rejected, while the byte-identical 512 x 5120
+    and 256 x 10240 blocks compile fine), so the acc term is doubled in
+    that regime — this was the r3 chain-probe crash at 20k-point frames:
+    the model picked tx=128, the compile helper 500'd, and the worker
+    crash took down every subsequent probe in the process."""
     np_ = _round_up(max(n, 1), tx)
     mp = _round_up(max(m, 1), 512)
     num_tiles = np_ // tx
-    acc_bytes = tx * mp * 4
+    factor = 2 if mp > 16384 else 1
+    acc_bytes = factor * tx * mp * 4
     col_bytes = 2 * num_tiles * mp * 4
     y_bytes = 3 * mp * 4
     return acc_bytes + col_bytes + y_bytes <= VMEM_BUDGET

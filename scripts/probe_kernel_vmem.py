@@ -23,9 +23,12 @@ def main():
     shapes = [
         (5120, 5120, 512),     # headline: known-good in production
         (5120, 5120, 256),
+        (512, 20480, 128),     # r3 chain-probe crash: stack 18.93M, FAILS
+        (512, 20480, 64),      # the config the fixed model now selects: OK
         (2048, 20480, 64),     # chain-fit at 20k points: observed OOM
         (2048, 20480, 32),
         (2048, 10240, 128),
+        (512, 10240, 256),     # same 10.5M acc block as tx=128 x 20480: OK
         (10240, 10240, 128),
         (10240, 10240, 64),
         (2048, 16384, 64),
