@@ -57,7 +57,8 @@ def write_urdf(
         link_pos_local[j.child_link] = child_frame[:3, 3] - j.global_pos[:3]
 
     cmap = colormaps["jet"]
-    colors = [cmap(i / len(links)) for i in range(len(links))]
+    # key by link id: ids need not be contiguous after static-joint pruning
+    colors = {link.id: cmap(i / len(links)) for i, link in enumerate(links)}
 
     for link in links:
         name = f"link_{link.id}"

@@ -620,3 +620,48 @@ class TestMeshing:
         v_lap = signed_volume(laplacian_smooth(mesh, iterations=10))
         assert abs(v_taubin - v0) < 0.15 * v0      # Taubin: volume held
         assert v_lap < 0.75 * v0                   # Laplacian: shrinks hard
+
+
+class TestUrdfWriterSparseIds:
+    def test_write_urdf_noncontiguous_link_ids(self, tmp_path):
+        """Static-joint pruning can leave link ids with gaps (toilet: ids
+        {0, 2, 3} after pruning); the writer must not index its palette or
+        frames by raw id."""
+        from autourdf_tpu.joints.screw import JointEstimate
+        from autourdf_tpu.structure.coord_map import CoordMap
+        from autourdf_tpu.structure.tree import LinkNode
+        from autourdf_tpu.urdf.writer import write_urdf
+
+        K, T = 4, 2
+        mats = np.tile(np.eye(4, dtype=np.float32), (T, K, 1, 1))
+        for k in range(K):
+            mats[:, k, :3, 3] = [0.1 * k, 0.0, 0.0]
+        coords = np.zeros((T, K, 7), np.float32)
+        coords[..., 3] = 1.0
+        coords[..., :3] = mats[..., :3, 3]
+        cm = CoordMap(matrices=mats, coords=coords,
+                      cluster_points=[np.zeros((4, 3), np.float32)] * T,
+                      cluster_labels=[np.zeros(4, np.int64)] * T,
+                      bbox_diag=1.0)
+
+        # ids 0, 2, 3 — id 3 >= len(links), id 1 absent
+        links = [LinkNode(id=0, cluster_idx={0}, parent_id=None),
+                 LinkNode(id=2, cluster_idx={1, 2}, parent_id=0),
+                 LinkNode(id=3, cluster_idx={3}, parent_id=2)]
+        joints = [
+            JointEstimate(parent_link=0, child_link=2,
+                          local_axis=np.array([0.0, 0.0, 1.0]),
+                          local_pos=np.zeros(3),
+                          global_pos=np.array([0.1, 0.0, 0.0]),
+                          global_axis=np.array([0.0, 0.0, 1.0])),
+            JointEstimate(parent_link=2, child_link=3,
+                          local_axis=np.array([0.0, 0.0, 1.0]),
+                          local_pos=np.zeros(3),
+                          global_pos=np.array([0.3, 0.0, 0.0]),
+                          global_axis=np.array([0.0, 0.0, 1.0])),
+        ]
+        out = tmp_path / "sparse.urdf"
+        path = write_urdf(links, joints, cm, str(out))
+        txt = out.read_text()
+        assert path == str(out)
+        assert 'name="link_3"' in txt and 'name="link_1"' not in txt
