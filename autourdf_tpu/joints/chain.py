@@ -100,17 +100,32 @@ def _chain_loss(spec: ChainSpec, frames0, link_pts, link_masks,
     return jnp.mean(jax.vmap(one_seq)(theta, frames, frame_masks))
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "num_steps", "lr"))
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "num_steps", "lr", "total_steps"))
 def _chain_fit_chunk(spec: ChainSpec, frames0, link_pts, link_masks,
-                     frames, frame_masks, carry, num_steps: int, lr: float):
-    params, mu, nu, i = carry
+                     frames, frame_masks, carry, num_steps: int, lr: float,
+                     total_steps: int):
+    params, mu, nu, i, ema, path = carry
 
     # geometry parameters move much slower than angles: the angles carry
     # the per-frame fit while axes/origins follow only persistent residuals
     group_lr = {"u": 0.2 * lr, "o": 0.1 * lr, "theta": lr}
+    # Weakly-constrained axes random-walk under Adam noise at zero loss
+    # cost once the chamfer plateaus (ur5's pan/lift drifted to 4.5/3.7
+    # deg between step 400 and 1200 while the loss moved only
+    # 0.01975 -> 0.01973), yet slow REAL convergence continues in the
+    # same flat-loss regime (the wx200 wrist improves 7.9 -> 4.3 deg over
+    # those steps).  Two measures, both aimed at the walk, not the fit:
+    #   - cosine lr decay (floor 5%) after a 30% constant warmup: the
+    #     walk's step size shrinks ~linearly while directed convergence
+    #     mostly completes during the high-lr phase;
+    #   - a tail EMA of the geometry (half-life ~total/6, live until
+    #     total/2) that averages whatever wander remains.
+    beta = 2.0 / (max(total_steps, 6) / 6.0 + 1.0)
+    warmup = total_steps // 2
 
     def body(c, _):
-        p, mu, nu, i = c
+        p, mu, nu, i, ema, path = c
         loss, g = jax.value_and_grad(
             lambda pp: _chain_loss(spec, frames0, link_pts, link_masks,
                                    pp, frames, frame_masks)
@@ -119,16 +134,23 @@ def _chain_fit_chunk(spec: ChainSpec, frames0, link_pts, link_masks,
         mu = jax.tree.map(lambda m, gr: 0.9 * m + 0.1 * gr, mu, g)
         nu = jax.tree.map(lambda v, gr: 0.999 * v + 0.001 * gr * gr, nu, g)
         t = i.astype(jnp.float32)
-        p = {
-            k: p[k] - group_lr[k] * (mu[k] / (1 - 0.9**t))
+        frac = jnp.clip((t / total_steps - 0.3) / 0.7, 0.0, 1.0)
+        decay = 0.05 + 0.95 * 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+        p_new = {
+            k: p[k] - decay * group_lr[k] * (mu[k] / (1 - 0.9**t))
             / (jnp.sqrt(nu[k] / (1 - 0.999**t)) + 1e-8)
             for k in p
         }
-        return (p, mu, nu, i), loss
+        # per-joint axis path length: with the per-window net displacement
+        # (host side) this gives a directed-vs-diffusive motion diagnostic
+        path = path + jnp.linalg.norm(p_new["u"] - p["u"], axis=1)
+        b = jnp.where(i > warmup, beta, 1.0)  # track live until warmup
+        ema = {k: ema[k] + b * (p_new[k] - ema[k]) for k in ("u", "o")}
+        return (p_new, mu, nu, i, ema, path), loss
 
-    (params, mu, nu, i), losses = jax.lax.scan(body, (params, mu, nu, i), None,
-                                               length=num_steps)
-    return (params, mu, nu, i), losses[-1]
+    (params, mu, nu, i, ema, path), losses = jax.lax.scan(
+        body, (params, mu, nu, i, ema, path), None, length=num_steps)
+    return (params, mu, nu, i, ema, path), losses[-1]
 
 
 def refine_chain(
@@ -225,7 +247,9 @@ def refine_chain(
                 theta0[s, t, j] = float(rv @ u0[j])
     params = {"u": jnp.asarray(u0), "o": jnp.asarray(o0), "theta": jnp.asarray(theta0)}
     zeros = jax.tree.map(jnp.zeros_like, params)
-    carry = (params, zeros, zeros, jnp.zeros((), jnp.int32))
+    ema0 = {"u": params["u"], "o": params["o"]}
+    carry = (params, zeros, zeros, jnp.zeros((), jnp.int32), ema0,
+             jnp.zeros((J,), jnp.float32))
 
     frames_j = jnp.asarray(frames, jnp.float32)
     fmasks = (jnp.asarray(frame_masks) if frame_masks is not None
@@ -251,20 +275,39 @@ def refine_chain(
                                  4, dispatch_steps))
     remaining = steps
     loss = None
+    win_u, win_path, win_step = np.asarray(params["u"]), 0.0, 0
     while remaining > 0:
         n = min(dispatch_steps, remaining)
         carry, loss = _chain_fit_chunk(
-            spec, f0, lp, lm, frames_j, fmasks, carry, n, lr
+            spec, f0, lp, lm, frames_j, fmasks, carry, n, lr,
+            total_steps=steps,
         )
         remaining -= n
+        done = steps - remaining
         if verbose:
-            print(f"[chain] {steps - remaining}/{steps} loss {float(loss):.5f}",
+            print(f"[chain] {done}/{steps} loss {float(loss):.5f}",
                   flush=True)
+            if done - win_step >= 200 or remaining == 0:
+                # directed-vs-diffusive axis motion over the window:
+                # r ~ 1 = the axis is still converging somewhere,
+                # r ~ 0 = pure Adam random walk (wasted steps + drift)
+                u_now = np.asarray(carry[0]["u"])
+                p_now = np.asarray(carry[5])
+                net = np.linalg.norm(u_now - win_u, axis=1)
+                dpath = np.maximum(p_now - win_path, 1e-12)
+                ratio = net / dpath
+                print(f"[chain]   axis net deg "
+                      f"{np.round(np.degrees(net), 2).tolist()} "
+                      f"dir-ratio {np.round(ratio, 2).tolist()}",
+                      flush=True)
+                win_u, win_path, win_step = u_now, p_now, done
 
-    params = carry[0]
-    u = np.asarray(params["u"], np.float64)
+    params, ema = carry[0], carry[4]
+    # geometry from the tail average (see _chain_fit_chunk); angles from
+    # the live params (they track each frame exactly)
+    u = np.asarray(ema["u"], np.float64)
     u = u / np.linalg.norm(u, axis=1, keepdims=True)
-    o = np.asarray(params["o"], np.float64)
+    o = np.asarray(ema["o"], np.float64)
     theta = np.asarray(params["theta"])
 
     refined = []
