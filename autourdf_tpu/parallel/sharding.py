@@ -86,7 +86,14 @@ def active_mesh() -> Mesh | None:
         return _MESH_STACK[-1]
     get = getattr(jax.sharding, "get_mesh", None)
     if get is not None:
-        m = get()
+        try:
+            m = get()
+        except ValueError:
+            # raised inside jit tracing ("use get_abstract_mesh") — a
+            # concrete device mesh is unknowable there; only the explicit
+            # mesh_scope stack (checked above, a trace-time contextvar)
+            # can drive auto-sharding from within a traced computation
+            return None
         if isinstance(m, Mesh) and not m.empty:
             return m
     return None

@@ -113,6 +113,29 @@ class TestSharding:
         _ = float(cham_mod.chamfer_distance(x, y, backend="xla"))
         assert len(calls) == n_calls
 
+    def test_chamfer_large_m_inside_jit_no_ambient_mesh(self, rng, monkeypatch):
+        """Above the auto-shard threshold, the ambient-mesh probe must not
+        blow up inside jit tracing (jax.sharding.get_mesh raises there) —
+        a 32768-point chamfer under jax.grad crashed on-chip before the
+        ValueError fallback in parallel.sharding.active_mesh."""
+        import jax
+
+        import autourdf_tpu.ops.chamfer as cham_mod
+
+        monkeypatch.setattr(cham_mod, "AUTO_SHARD_MIN_M", 128)
+        x = jnp.asarray(rng.normal(size=(96, 3)), jnp.float32)
+        y = jnp.asarray(rng.normal(size=(256, 3)), jnp.float32)
+
+        @jax.jit
+        def loss(a):
+            return cham_mod.chamfer_distance(a, y, backend="xla")
+
+        v = float(loss(x))
+        g = jax.jit(jax.grad(loss))(x)
+        ref = float(cham_mod.chamfer_distance(x, y, backend="xla"))
+        np.testing.assert_allclose(v, ref, rtol=1e-5)
+        assert np.isfinite(np.asarray(g)).all()
+
     def test_dp_sp_train_step_matches_unsharded(self, rng):
         """Combined (dp, sp) mesh: the collective-chamfer training step
         must match the plain single-device train_epochs run."""
