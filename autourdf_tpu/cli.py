@@ -118,6 +118,11 @@ def main(argv=None) -> int:
                    help="chain-refinement Adam steps (the wx200_5 loss "
                         "plateaus by ~600; 1200 cut its axis error "
                         "3.10 -> 1.84 deg over the old 400)")
+    p.add_argument("--canonical-frames", type=int, default=1,
+                   help="build each link's canonical cloud from this many "
+                        "evenly-spaced registered steps instead of frame 0 "
+                        "only (completes occluded surface; see "
+                        "joints/chain.py)")
     p.add_argument("--chain-balance", action="store_true",
                    help="per-link balanced forward Chamfer in the chain "
                         "refinement (equal gradient weight per link); "
@@ -215,6 +220,7 @@ def main(argv=None) -> int:
             dof_method=args.dof_method, end_video=args.end_video,
             refine=args.refine, refine_steps=args.refine_steps, tree=args.tree,
             chain_balance=args.chain_balance,
+            canonical_frames=args.canonical_frames,
             reassign=not args.no_reassign, dof_guard=not args.no_dof_guard,
             dof_probe=not args.no_dof_probe, prune_deg=args.prune_deg,
         )

@@ -164,6 +164,7 @@ def refine_chain(
     dispatch_steps: int = 50,
     frame_masks: np.ndarray | None = None,  # (S, T, N) for ragged frames
     balance: bool = False,
+    canonical_frames: int = 1,
     verbose: bool = False,
 ) -> tuple[list[JointEstimate], ChainResult]:
     """Jointly refine every joint against the raw frames of all sequences.
@@ -190,26 +191,40 @@ def refine_chain(
     )
 
     cm = cms[0]
-    # canonical per-link clouds in link frames at step 0 (subsampled, padded)
+    # canonical per-link clouds in link frames (subsampled, padded).
+    # ``canonical_frames`` > 1 unions observations from that many evenly
+    # spaced steps of sequence 0, each mapped into the link frame via the
+    # REGISTERED per-cluster pose at its own step: a single-step cloud is
+    # occlusion-incomplete, and surface that only becomes visible as the
+    # robot moves shows up in the raw frames with nothing in the model to
+    # explain it — a persistent (directed, dir-ratio ~1) pull on
+    # weakly-constrained axes (ur5 pan/lift walked 3-4 deg this way).
     rng = np.random.default_rng(0)
     L = len(links)
+    T_cm = cm.matrices.shape[0]
+    steps_used = sorted(
+        {int(t) for t in np.linspace(0, T_cm - 1, max(1, canonical_frames))}
+    )
     link_pts = np.zeros((L, points_per_link, 3), np.float32)
     link_masks = np.zeros((L, points_per_link), bool)
     frames0_np = np.zeros((L, 4, 4), np.float32)
-    pts0 = np.asarray(cm.cluster_points[0])
-    labels0 = np.asarray(cm.cluster_labels[0])
     for i, link in enumerate(links):
         members = sorted(link.cluster_idx)
-        F = _link_frame_np(cm, members, 0)
-        frames0_np[i] = F
-        parts = []
-        for m in members:
-            sel = labels0 == m
-            M = cm.matrices[0, m]
-            parts.append(pts0[sel] @ M[:3, :3].T + M[:3, 3])
-        world = np.concatenate(parts, axis=0)
-        inv = np.linalg.inv(F)
-        local = world @ inv[:3, :3].T + inv[:3, 3]
+        frames0_np[i] = _link_frame_np(cm, members, 0)
+        locals_t = []
+        for t in steps_used:
+            pts_t = np.asarray(cm.cluster_points[t])
+            labels_t = np.asarray(cm.cluster_labels[t])
+            F = _link_frame_np(cm, members, t)
+            inv = np.linalg.inv(F)
+            parts = []
+            for m in members:
+                sel = labels_t == m
+                M = cm.matrices[t, m]
+                parts.append(pts_t[sel] @ M[:3, :3].T + M[:3, 3])
+            world = np.concatenate(parts, axis=0)
+            locals_t.append(world @ inv[:3, :3].T + inv[:3, 3])
+        local = np.concatenate(locals_t, axis=0)
         if len(local) > points_per_link:
             idx = rng.choice(len(local), points_per_link, replace=False)
             local = local[idx]

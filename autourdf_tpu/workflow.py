@@ -324,6 +324,7 @@ def run_build_urdf(
     refine: str = "chain",
     refine_steps: int = 1200,
     chain_balance: bool = False,
+    canonical_frames: int = 1,
     tree: str = "motion",
     reassign: bool = True,
     dof_guard: bool = True,
@@ -489,7 +490,8 @@ def run_build_urdf(
         joints, chain_res = refine_chain(
             links, joints, cms, frames, steps=refine_steps,
             points_per_link=1024, frame_masks=fmasks,
-            balance=chain_balance, verbose=verbose,
+            balance=chain_balance, canonical_frames=canonical_frames,
+            verbose=verbose,
         )
         if prune_deg > 0:
             links, pruned = prune_static_joints(
@@ -507,7 +509,8 @@ def run_build_urdf(
                 joints, _ = refine_chain(
                     links, joints, cms, frames, steps=refine_steps,
                     points_per_link=1024, frame_masks=fmasks,
-                    balance=chain_balance, verbose=verbose,
+                    balance=chain_balance, canonical_frames=canonical_frames,
+                    verbose=verbose,
                 )
 
     # link artifacts + meshes from the first sequence only (reference :726).

@@ -47,8 +47,9 @@ class TestFitRevolute:
 
 
 class TestChainRefine:
-    @pytest.mark.parametrize("balance", [False, True])
-    def test_improves_perturbed_axes(self, rng, balance):
+    @pytest.mark.parametrize("balance,canonical_frames",
+                             [(False, 1), (True, 1), (False, 3)])
+    def test_improves_perturbed_axes(self, rng, balance, canonical_frames):
         # synthetic 2-link chain via the CoordMap fixture machinery
         import sys, os
         sys.path.insert(0, os.path.dirname(__file__))
@@ -91,7 +92,7 @@ class TestChainRefine:
         )]
         refined, result = refine_chain(
             links, joints, [cm], frames, steps=200, points_per_link=256,
-            balance=balance,
+            balance=balance, canonical_frames=canonical_frames,
         )
         ax = refined[0].global_axis / np.linalg.norm(refined[0].global_axis)
         err = np.degrees(np.arccos(min(1.0, abs(ax @ np.array([0, 0, 1.0])))))
