@@ -65,6 +65,7 @@ def pipeline_run(tmp_path_factory):
         urdf_out = workflow.run_build_urdf(cfg, unknown_dof=True, end_video=2,
                                            dof_probe_steps=20,
                                            dof_probe_points=128,
+                                           refine_steps=300,  # toy converges
                                            verbose=False)
         eval_out = workflow.run_evaluation(cfg, verbose=False, num_configs=1)
     finally:
