@@ -166,6 +166,136 @@ def optimize_joint_axis(
 
 
 @dataclass
+class JointCoherence:
+    """Per-joint articulation-coherence statistics (ours, beyond reference).
+
+    A REAL revolute joint's per-interval screw axes (the raw samples that
+    :func:`estimate_joints_from_tree` pools before its SVD) all measure
+    the same physical axis, so they cluster tightly around the principal
+    axis — and the per-sequence principal axes agree, because each of the
+    independent random-walk trajectories excites the same hinge.  A
+    SPURIOUS joint born from registration drift on a large rigid shell
+    has no physical axis: its per-interval screws are noise rotations
+    whose axes scatter, and each sequence's drift fits a different
+    "axis".  The statistics below quantify both, providing a veto signal
+    the carry/magnitude tests cannot (RESULTS.md round-3: drift magnitude
+    overlaps the weak-true-joint band; drift *direction* does not).
+    """
+
+    parent_link: int
+    child_link: int
+    n_samples: int
+    #: angle-weighted resultant length of the sample axes folded onto the
+    #: principal-axis hemisphere; 1.0 = perfectly coherent, ~0.5 = the
+    #: expectation for isotropic noise folded to a hemisphere
+    concentration: float
+    #: median folded angle (deg) between sample axes and the principal axis
+    median_dev_deg: float
+    #: max pairwise folded angle (deg) between per-sequence principal axes
+    #: (nan when fewer than 2 sequences yield enough valid samples)
+    seq_spread_deg: float
+    #: summed |screw angle| across samples (deg) — excitation magnitude
+    total_angle_deg: float
+
+
+def _folded_angle_deg(a: np.ndarray, b: np.ndarray) -> float:
+    c = abs(float(np.dot(a, b)) / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-12))
+    return float(np.degrees(np.arccos(np.clip(c, -1.0, 1.0))))
+
+
+def _pair_screw_samples(
+    cm: "CoordMap",
+    parent_members: list[int],
+    child_members: list[int],
+    start_step: int,
+    num_steps: int,
+    interval: int,
+    min_angle: float,
+) -> tuple[list[np.ndarray], list[float]]:
+    """Valid (axis, angle) screw samples for one parent-child pair in one
+    sequence, pooled over the stride offsets (same sampling scheme as
+    estimate_joints_from_tree)."""
+    axes_out: list[np.ndarray] = []
+    angles_out: list[float] = []
+    for a in range(interval):
+        pp, pc = [], []
+        for step in range(start_step + a, start_step + num_steps, interval):
+            pp.append(cluster_pose_mean(cm, parent_members, step))
+            pc.append(cluster_pose_mean(cm, child_members, step))
+        axes, angles, pts = screw_axes_from_pose_series(pp, pc)
+        for ax, ang, pt in zip(axes, angles, pts):
+            if np.linalg.norm(ax) > 0.5 and ang > min_angle and np.all(np.isfinite(pt)):
+                axes_out.append(ax / np.linalg.norm(ax))
+                angles_out.append(float(ang))
+    return axes_out, angles_out
+
+
+def joint_screw_coherence(
+    links: list["LinkNode"],
+    cm_list: list["CoordMap"],
+    start_step: int = 0,
+    num_steps: int = 10,
+    interval: int = 4,
+    min_angle: float = 1e-4,
+) -> list[JointCoherence]:
+    """Coherence statistics for every parent-child joint of ``links``.
+
+    Uses the identical pose-series / stride sampling as
+    :func:`estimate_joints_from_tree` so the statistics describe exactly
+    the samples that joint estimation would consume.
+    """
+    interval = max(1, min(interval, num_steps // 2))
+    out: list[JointCoherence] = []
+    for link in links:
+        if link.parent_id is None:
+            continue
+        parent = next(l for l in links if l.id == link.parent_id)
+        pm, cm_members = sorted(parent.cluster_idx), sorted(link.cluster_idx)
+        per_seq_axes: list[list[np.ndarray]] = []
+        per_seq_angles: list[list[float]] = []
+        for cm in cm_list:
+            axes, angles = _pair_screw_samples(
+                cm, pm, cm_members, start_step, num_steps, interval, min_angle)
+            per_seq_axes.append(axes)
+            per_seq_angles.append(angles)
+        all_axes = [a for seq in per_seq_axes for a in seq]
+        all_angles = [a for seq in per_seq_angles for a in seq]
+        if not all_axes:
+            out.append(JointCoherence(parent.id, link.id, 0, 0.0, 90.0,
+                                      float("nan"), 0.0))
+            continue
+        principal = _principal_axis(all_axes)
+        # fold every sample onto the principal hemisphere, weight by angle
+        w = np.asarray(all_angles)
+        A = np.stack([a if a @ principal >= 0 else -a for a in all_axes])
+        resultant = (w[:, None] * A).sum(0)
+        concentration = float(np.linalg.norm(resultant) / max(w.sum(), 1e-12))
+        devs = [_folded_angle_deg(a, principal) for a in all_axes]
+        # per-sequence principal axes (sequences with >= 2 valid samples)
+        seq_axes = [
+            _principal_axis(axes) for axes in per_seq_axes if len(axes) >= 2
+        ]
+        if len(seq_axes) >= 2:
+            spread = max(
+                _folded_angle_deg(seq_axes[i], seq_axes[j])
+                for i in range(len(seq_axes))
+                for j in range(i + 1, len(seq_axes))
+            )
+        else:
+            spread = float("nan")
+        out.append(JointCoherence(
+            parent_link=parent.id,
+            child_link=link.id,
+            n_samples=len(all_axes),
+            concentration=concentration,
+            median_dev_deg=float(np.median(devs)),
+            seq_spread_deg=spread,
+            total_angle_deg=float(np.degrees(np.sum(all_angles))),
+        ))
+    return out
+
+
+@dataclass
 class JointEstimate:
     parent_link: int
     child_link: int

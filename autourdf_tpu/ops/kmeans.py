@@ -57,11 +57,9 @@ def lloyd(
     clusters keep their previous center.
     """
     k = init_centers.shape[0]
+    # Masked-out points need no far-away parking: their one-hot assignment
+    # row is zeroed below, so they never pull a center.
     m = None if mask is None else mask.astype(points.dtype)
-    if m is not None:
-        # Masked-out points: park far away is unnecessary — just zero their
-        # one-hot row so they never pull a center.
-        pass
 
     var = jnp.mean(jnp.var(points, axis=0)) if m is None else (
         jnp.sum(m[:, None] * (points - jnp.sum(m[:, None] * points, 0)

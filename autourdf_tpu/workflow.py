@@ -389,7 +389,6 @@ def run_build_urdf(
     )
     from .urdf.writer import write_urdf
 
-    robot = get_robot(cfg.robot)
     cms, part_dirs = build_coord_maps(cfg, end_video, cfg.start_steps, cfg.end_steps)
     sum_map = combined_sum_map(cms, dist_mode)
 
@@ -406,7 +405,7 @@ def run_build_urdf(
             f.write(f"Silhouette Score: {scores}\n")
             f.write(f"Number of Links: {nls.tolist()}\n")
     else:
-        dof = robot.dof
+        dof = get_robot(cfg.robot).dof
         groups, labels, _ = coord_clustering(sum_map, dof + 1)
 
     carry_stack = None

@@ -21,10 +21,11 @@ chip: bench_reference_shape.py reproduces the reference's exact execution
 shape (one program dispatch per epoch, host value-fetch per epoch, CPU
 sklearn k-means round trip per frame) with this repo's own kernels and
 measures 0.0345 frames/s (29.0 s/pair, 2026-08-16, v5e behind the axon
-tunnel).  The derived 0.083 is kept as the official denominator because
-it is the more conservative of the two (local CUDA dispatch is cheaper
-than this deployment's ~30 ms tunnel round trip); the measured anchor is
-reported in the detail block.
+tunnel).  Per the round-3 verdict, the MEASURED anchor is the headline
+denominator (``vs_baseline``) — it is the only number actually clocked on
+real hardware; the derived 0.083 CUDA estimate is reported alongside in
+the detail block as the conservative secondary figure
+(``vs_derived_cuda_estimate``).
 """
 
 from __future__ import annotations
@@ -34,9 +35,11 @@ import os
 import sys
 import time
 
-BASELINE_FRAMES_PER_SEC = 0.083  # reference CUDA recipe, see module docstring
-# Same-chip measured anchor (bench_reference_shape.py, 2026-08-16): the
+# Derived reference CUDA estimate (conservative secondary), see docstring.
+DERIVED_CUDA_FRAMES_PER_SEC = 0.083
+# Same-chip MEASURED anchor (bench_reference_shape.py, 2026-08-16): the
 # reference's per-epoch-sync execution shape with this repo's kernels.
+# This is the headline baseline denominator (the only measured one).
 MEASURED_REFERENCE_SHAPE_FPS = 0.0345
 # Kernel detail at the production 5000^2 size, marginal-timed the same day:
 KERNEL_DETAIL = {
@@ -131,15 +134,18 @@ def main() -> None:
                 "metric": "wx200 50-frame registration throughput (1 chip)",
                 "value": round(fps, 3),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC, 2),
+                "vs_baseline": round(fps / MEASURED_REFERENCE_SHAPE_FPS, 2),
                 "detail": {
                     "seconds_for_45_frame_pairs": round(elapsed, 2),
                     "mean_chamfer_loss": round(mean_loss, 5),
                     "backend": jax.default_backend(),
-                    "vs_measured_reference_shape": round(
-                        fps / MEASURED_REFERENCE_SHAPE_FPS, 2
+                    "baseline_fps_measured_reference_shape": (
+                        MEASURED_REFERENCE_SHAPE_FPS
                     ),
-                    "measured_reference_shape_fps": MEASURED_REFERENCE_SHAPE_FPS,
+                    "vs_derived_cuda_estimate": round(
+                        fps / DERIVED_CUDA_FRAMES_PER_SEC, 2
+                    ),
+                    "derived_cuda_estimate_fps": DERIVED_CUDA_FRAMES_PER_SEC,
                     "kernels_5000sq": KERNEL_DETAIL,
                 },
             }
