@@ -492,6 +492,24 @@ def run_build_urdf(
             balance=chain_balance, canonical_frames=canonical_frames,
             verbose=verbose,
         )
+        if verbose:
+            # per-joint articulation diagnostics (drift-veto calibration):
+            # fitted theta range from the chain fit + screw-sample axis
+            # coherence from the registration (joints/screw.py) — real
+            # joints are excited tens of degrees with coherent axes,
+            # drift-born joints absorb a few degrees with scattered axes
+            from .joints.screw import joint_screw_coherence
+
+            th = np.asarray(chain_res.thetas)
+            ranges = np.degrees((th.max(axis=1) - th.min(axis=1)).max(axis=0))
+            coh = joint_screw_coherence(
+                links, cms, 0, cfg.end_steps - cfg.start_steps, interval=4)
+            for j, (joint, c) in enumerate(zip(joints, coh)):
+                print(f"[prune-diag] joint {joint.parent_link}->"
+                      f"{joint.child_link}: theta_range {ranges[j]:.1f}deg "
+                      f"conc {c.concentration:.3f} "
+                      f"spread {c.seq_spread_deg:.1f}deg "
+                      f"total {c.total_angle_deg:.0f}deg", flush=True)
         if prune_deg > 0:
             links, pruned = prune_static_joints(
                 links, joints, np.asarray(chain_res.thetas),
