@@ -665,3 +665,69 @@ class TestUrdfWriterSparseIds:
         txt = out.read_text()
         assert path == str(out)
         assert 'name="link_3"' in txt and 'name="link_1"' not in txt
+
+
+def make_drift_coordmap(num_frames=10, drift_deg=3.0, seed=0):
+    """Two 'links' that are really ONE rigid body: clusters 3-5 get a small
+    random rotation/translation per frame (registration drift), not a joint."""
+    rng = np.random.default_rng(seed)
+    offs_a = np.asarray([[-0.5, 0, 0], [-0.35, 0.1, 0], [-0.2, -0.1, 0.05]])
+    offs_b = np.asarray([[0.2, 0, 0], [0.4, 0.05, 0], [0.6, -0.05, 0.1]])
+    K, T = 6, num_frames
+    matrices = np.tile(np.eye(4), (T, K, 1, 1))
+    pts = rng.normal(scale=0.05, size=(K, 20, 3))
+    cluster_points, cluster_labels, raw_clouds = [], [], []
+    for t in range(T):
+        # cumulative small random walk of the 'child' shell: random axis,
+        # few-degree step — drift has no consistent screw
+        if t == 0:
+            rot = np.eye(3)
+        else:
+            ax = rng.normal(size=3)
+            ax /= np.linalg.norm(ax)
+            step = ScipyRot.from_rotvec(ax * np.radians(drift_deg)).as_matrix()
+            rot = step @ matrices[t - 1, 3, :3, :3]
+        world_pts, labels = [], []
+        for k in range(3):
+            matrices[t, k, :3, 3] = offs_a[k]
+            world_pts.append(pts[k] + offs_a[k])
+            labels += [k] * 20
+        for k in range(3):
+            matrices[t, 3 + k, :3, :3] = rot
+            matrices[t, 3 + k, :3, 3] = rot @ offs_b[k]
+            world_pts.append(pts[3 + k] @ rot.T + rot @ offs_b[k])
+            labels += [3 + k] * 20
+        cluster_points.append(pts.reshape(-1, 3))
+        cluster_labels.append(np.asarray(labels, np.int32))
+        raw_clouds.append(np.concatenate(world_pts))
+    return CoordMap.from_arrays(matrices, cluster_points, cluster_labels, raw_clouds)
+
+
+class TestJointCoherence:
+    """joints.screw.joint_screw_coherence: real revolute joints produce
+    tightly clustered per-interval screw axes across sequences; drift-born
+    'joints' scatter (the spurious-Sapien-joint veto signal)."""
+
+    def _links(self):
+        from autourdf_tpu.structure.tree import LinkNode
+
+        return [LinkNode(id=0, cluster_idx={0, 1, 2}, parent_id=None),
+                LinkNode(id=1, cluster_idx={3, 4, 5}, parent_id=0)]
+
+    def test_real_hinge_is_coherent(self):
+        from autourdf_tpu.joints import joint_screw_coherence
+
+        cms = [make_hinge_coordmap(num_frames=10, angle_step=0.10, seed=s)
+               for s in (0, 1)]
+        (st,) = joint_screw_coherence(self._links(), cms, 0, 10, interval=4)
+        assert st.concentration > 0.97
+        assert st.median_dev_deg < 10.0
+        assert st.seq_spread_deg < 10.0
+
+    def test_drift_shell_is_incoherent(self):
+        from autourdf_tpu.joints import joint_screw_coherence
+
+        cms = [make_drift_coordmap(num_frames=10, seed=s) for s in (0, 1)]
+        (st,) = joint_screw_coherence(self._links(), cms, 0, 10, interval=4)
+        assert st.concentration < 0.9
+        assert st.seq_spread_deg > 30.0
