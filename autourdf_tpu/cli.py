@@ -143,6 +143,15 @@ def main(argv=None) -> int:
                    help="after chain refinement, merge child links whose "
                         "fitted joint angle range never exceeds this many "
                         "degrees (0 disables)")
+    p.add_argument("--drift-prune", action="store_true",
+                   help="also merge joints that are BOTH weakly excited "
+                        "(fitted range < --drift-theta-deg) and axis-"
+                        "incoherent across sequences (registration-drift "
+                        "joints on large rigid shells; see "
+                        "joints.screw.joint_screw_coherence)")
+    p.add_argument("--drift-theta-deg", type=float, default=12.0)
+    p.add_argument("--drift-conc", type=float, default=0.85)
+    p.add_argument("--drift-spread-deg", type=float, default=45.0)
 
     p = sub.add_parser("evaluate", help="joint accuracy + resim chamfer vs gt")
     _add_common(p)
@@ -223,6 +232,10 @@ def main(argv=None) -> int:
             canonical_frames=args.canonical_frames,
             reassign=not args.no_reassign, dof_guard=not args.no_dof_guard,
             dof_probe=not args.no_dof_probe, prune_deg=args.prune_deg,
+            drift_prune=args.drift_prune,
+            drift_theta_deg=args.drift_theta_deg,
+            drift_conc=args.drift_conc,
+            drift_spread_deg=args.drift_spread_deg,
         )
         print(json.dumps({"urdf": out["urdf_path"], "links": out["num_links"],
                           "dof": out["dof"]}))

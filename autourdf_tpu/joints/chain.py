@@ -350,6 +350,7 @@ def prune_static_joints(
     joints: list[JointEstimate],
     thetas: np.ndarray,
     threshold: float = 0.035,
+    extra_static: list[int] | None = None,
 ) -> tuple[list, bool]:
     """Merge child links whose fitted joint never moves (ours).
 
@@ -369,6 +370,12 @@ def prune_static_joints(
     """
     ranges = (thetas.max(axis=1) - thetas.min(axis=1)).max(axis=0)
     static = [j for j, r in enumerate(ranges) if float(r) < threshold]
+    # ``extra_static``: joint indices vetoed by an additional signal (the
+    # drift veto in workflow.run_build_urdf combines a low fitted range
+    # with incoherent registration screw axes)
+    for j in extra_static or []:
+        if j not in static:
+            static.append(j)
     if not static:
         return links, False
 

@@ -332,6 +332,10 @@ def run_build_urdf(
     dof_probe_steps: int = 60,
     dof_probe_points: int = 256,
     prune_deg: float = 2.0,
+    drift_prune: bool = False,
+    drift_theta_deg: float = 12.0,
+    drift_conc: float = 0.85,
+    drift_spread_deg: float = 45.0,
     verbose: bool = True,
 ) -> dict:
     """Structure discovery -> joints -> link meshes -> URDF file.
@@ -356,6 +360,14 @@ def run_build_urdf(
     a partition whose groups still contain articulated pairs (carry
     excess above the dataset noise floor) is under-split and k is
     escalated through the pose dendrogram until rigid.
+
+    ``drift_prune`` (default False) additionally merges joints that are
+    BOTH weakly excited (fitted theta range < ``drift_theta_deg``) and
+    axis-incoherent across sequences (screw-sample concentration below
+    ``drift_conc`` or per-sequence principal-axis spread above
+    ``drift_spread_deg``) — the signature of registration drift on a
+    large rigid shell rather than articulation (the faucet/trashcan/
+    storage spurious joints, RESULTS.md round-3 findings).
 
     ``dof_probe`` (default True) arbitrates the unknown-DoF link count
     with the chain-fit probe ladder (structure.probe_k_selection): the
@@ -492,28 +504,49 @@ def run_build_urdf(
             balance=chain_balance, canonical_frames=canonical_frames,
             verbose=verbose,
         )
-        if verbose:
-            # per-joint articulation diagnostics (drift-veto calibration):
-            # fitted theta range from the chain fit + screw-sample axis
-            # coherence from the registration (joints/screw.py) — real
-            # joints are excited tens of degrees with coherent axes,
-            # drift-born joints absorb a few degrees with scattered axes
-            from .joints.screw import joint_screw_coherence
+        # per-joint articulation diagnostics: fitted theta range from the
+        # chain fit + screw-sample axis coherence from the registration
+        # (joints/screw.py) — real joints are excited tens of degrees with
+        # coherent axes, drift-born joints absorb a few degrees with
+        # scattered axes.  The drift veto combines both: a joint BOTH
+        # weakly excited and axis-incoherent is registration drift, not
+        # articulation (real weakly-OBSERVABLE joints like the wx200
+        # wrist-rotate have noisy screw inits but large fitted ranges;
+        # real weakly-EXCITED joints have coherent axes).
+        from .joints.screw import joint_screw_coherence
 
-            th = np.asarray(chain_res.thetas)
-            ranges = np.degrees((th.max(axis=1) - th.min(axis=1)).max(axis=0))
-            coh = joint_screw_coherence(
-                links, cms, 0, cfg.end_steps - cfg.start_steps, interval=4)
+        th = np.asarray(chain_res.thetas)
+        ranges = np.degrees((th.max(axis=1) - th.min(axis=1)).max(axis=0))
+        coh = joint_screw_coherence(
+            links, cms, 0, cfg.end_steps - cfg.start_steps, interval=4)
+        if verbose:
             for j, (joint, c) in enumerate(zip(joints, coh)):
                 print(f"[prune-diag] joint {joint.parent_link}->"
                       f"{joint.child_link}: theta_range {ranges[j]:.1f}deg "
                       f"conc {c.concentration:.3f} "
                       f"spread {c.seq_spread_deg:.1f}deg "
                       f"total {c.total_angle_deg:.0f}deg", flush=True)
-        if prune_deg > 0:
+        drift_static: list[int] = []
+        if drift_prune:
+            for j, c in enumerate(coh):
+                incoherent = (c.concentration < drift_conc
+                              or (np.isfinite(c.seq_spread_deg)
+                                  and c.seq_spread_deg > drift_spread_deg))
+                if ranges[j] < drift_theta_deg and incoherent:
+                    drift_static.append(j)
+                    if verbose:
+                        print(f"[urdf] drift veto: joint "
+                              f"{joints[j].parent_link}->"
+                              f"{joints[j].child_link} "
+                              f"(range {ranges[j]:.1f}deg, "
+                              f"conc {c.concentration:.3f}, "
+                              f"spread {c.seq_spread_deg:.1f}deg)",
+                              flush=True)
+        if prune_deg > 0 or drift_static:
             links, pruned = prune_static_joints(
                 links, joints, np.asarray(chain_res.thetas),
-                threshold=np.radians(prune_deg))
+                threshold=np.radians(prune_deg) if prune_deg > 0 else 0.0,
+                extra_static=drift_static)
             if pruned:
                 # membership changed -> link frames changed; redo the
                 # estimate + fit on the merged structure
