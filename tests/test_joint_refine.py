@@ -156,6 +156,22 @@ class TestPruneStaticJoints:
         assert not pruned
         assert out is links
 
+    def test_extra_static_vetoes_moving_joint(self):
+        """The drift veto passes extra indices: a joint above the range
+        threshold still merges when listed (workflow's axis-incoherence
+        veto), and resolve() reparents through it."""
+        from autourdf_tpu.joints.chain import prune_static_joints
+
+        links, mk = self._mk()
+        joints = [mk(0, 1), mk(1, 2)]
+        thetas = np.tile(np.linspace(0, 0.5, 5)[None, :, None], (1, 1, 2))
+        out, pruned = prune_static_joints(
+            links, joints, thetas.astype(np.float32), extra_static=[0])
+        assert pruned
+        assert [l.id for l in out] == [0, 1]
+        assert out[0].cluster_idx == {0, 1, 2}
+        assert out[1].parent_id == 0
+
     def test_best_sequence_counts(self):
         """A joint excited in only ONE of several sequences survives."""
         from autourdf_tpu.joints.chain import prune_static_joints
