@@ -33,6 +33,7 @@ import numpy as np
 from ..core import rotations as R
 from ..core import se3
 from ..ops.chamfer import chamfer_distance
+from ..ops.icp import icp_point_to_point
 from .screw import JointEstimate
 
 
@@ -57,6 +58,68 @@ class ChainResult(NamedTuple):
 
 
 from .refine import _rot_about_axis as _rot_about
+
+_POLISH_PAD = 1024  # ICP subsample size for canonical-union polishing
+
+
+@jax.jit
+def _batched_polish_icp(src, src_mask, tgt, tgt_mask, threshold):
+    """vmapped p2p ICP of each source cloud onto one shared target."""
+    return jax.vmap(
+        lambda s, sm: icp_point_to_point(
+            s, tgt, max_iterations=30, threshold=threshold,
+            source_mask=sm, target_mask=tgt_mask,
+        )
+    )(src, src_mask)
+
+
+def _polish_canonical_union(locals_t: list[np.ndarray], rng) -> list[np.ndarray]:
+    """Rigidly re-align later-step local clouds onto the step-0 cloud.
+
+    The multi-frame canonical union maps each step's observation into the
+    link frame through the REGISTERED per-cluster poses, so every added
+    step carries that step's registration error (~mm) into the canonical
+    cloud.  The ur5 A/B measured the cost of the raw union: the two
+    occlusion-dominated joints improved (3.84->2.45, 3.30->3.00 deg) while
+    the three well-fit joints degraded (0.34->1.21, 1.53->2.36 deg) — the
+    union helps exactly where surface is missing and hurts exactly where
+    the smear exceeds the drift.  A small-threshold ICP of each step's
+    cloud onto the step-0 cloud removes the rigid component of that
+    registration error while keeping the newly visible surface (which has
+    no correspondences and is simply carried along by the fitted rigid
+    transform).
+    """
+    base = locals_t[0]
+    if len(base) < 16:
+        return locals_t
+    diag = float(np.linalg.norm(base.max(0) - base.min(0)))
+    threshold = max(0.1 * diag, 1e-3)
+
+    def pad(cloud: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        n = min(len(cloud), _POLISH_PAD)
+        idx = (
+            rng.choice(len(cloud), n, replace=False)
+            if len(cloud) > _POLISH_PAD
+            else np.arange(len(cloud))
+        )
+        out = np.zeros((_POLISH_PAD, 3), np.float32)
+        mask = np.zeros(_POLISH_PAD, bool)
+        out[:n] = cloud[idx]
+        mask[:n] = True
+        return out, mask
+
+    tgt, tgt_mask = pad(base)
+    srcs, src_masks = zip(*(pad(c) for c in locals_t[1:]))
+    res = _batched_polish_icp(
+        jnp.asarray(np.stack(srcs)), jnp.asarray(np.stack(src_masks)),
+        jnp.asarray(tgt), jnp.asarray(tgt_mask), threshold,
+    )
+    transforms = np.asarray(res.transform)
+    out = [base]
+    for k, cloud in enumerate(locals_t[1:]):
+        T = transforms[k]
+        out.append(cloud @ T[:3, :3].T + T[:3, 3])
+    return out
 
 
 def chain_world_transforms(spec: ChainSpec, frames0: jax.Array,
@@ -224,6 +287,8 @@ def refine_chain(
                 parts.append(pts_t[sel] @ M[:3, :3].T + M[:3, 3])
             world = np.concatenate(parts, axis=0)
             locals_t.append(world @ inv[:3, :3].T + inv[:3, 3])
+        if len(locals_t) > 1:
+            locals_t = _polish_canonical_union(locals_t, rng)
         local = np.concatenate(locals_t, axis=0)
         if len(local) > points_per_link:
             idx = rng.choice(len(local), points_per_link, replace=False)

@@ -183,3 +183,41 @@ class TestPruneStaticJoints:
         thetas[2, :, 1] = np.linspace(0, 0.4, 5)   # seq 2 only
         _, pruned = prune_static_joints(links, joints, thetas)
         assert not pruned
+
+
+class TestCanonicalUnionPolish:
+    def test_rigid_registration_error_removed_new_surface_kept(self, rng):
+        """A later-step cloud carrying a small rigid registration error is
+        re-aligned onto the step-0 cloud before the union; points of newly
+        visible surface (no overlap with step 0) ride the same rigid fix."""
+        from scipy.spatial.transform import Rotation as ScipyRot
+
+        from autourdf_tpu.joints.chain import _polish_canonical_union
+
+        base = rng.uniform(-0.1, 0.1, (400, 3)).astype(np.float32)
+        base[:, 0] *= 3.0  # elongated link
+        # step-1 observation: same surface + a brand-new patch, both moved
+        # by a small rigid "registration error"
+        new_patch = rng.uniform(-0.05, 0.05, (80, 3)).astype(np.float32)
+        new_patch[:, 0] = new_patch[:, 0] * 0.2 + 0.45
+        err_R = ScipyRot.from_rotvec([0.0, 0.0, 0.02]).as_matrix().astype(np.float32)
+        err_t = np.array([0.004, -0.003, 0.002], np.float32)
+        moved = np.concatenate([base, new_patch]) @ err_R.T + err_t
+
+        out = _polish_canonical_union([base, moved], np.random.default_rng(0))
+        assert len(out) == 2 and out[0] is base
+        polished = out[1]
+        # the overlapping part must land back on base (sub-mm)
+        resid = np.linalg.norm(polished[:400] - base, axis=1)
+        assert float(np.median(resid)) < 5e-4
+        # the new patch must be carried by the same inverse transform
+        expected_patch = (new_patch @ err_R.T + err_t - err_t) @ err_R
+        patch_resid = np.linalg.norm(polished[400:] - expected_patch, axis=1)
+        assert float(np.median(patch_resid)) < 2e-3
+
+    def test_tiny_base_cloud_is_left_alone(self):
+        from autourdf_tpu.joints.chain import _polish_canonical_union
+
+        tiny = [np.zeros((4, 3), np.float32), np.ones((8, 3), np.float32)]
+        out = _polish_canonical_union(tiny, np.random.default_rng(0))
+        assert out is tiny
