@@ -123,6 +123,11 @@ def main(argv=None) -> int:
                         "evenly-spaced registered steps instead of frame 0 "
                         "only (completes occluded surface; see "
                         "joints/chain.py)")
+    p.add_argument("--chain-anchors", type=int, default=1,
+                   help="average the chain fit over this many canonical "
+                        "anchor steps (different pose => different "
+                        "occlusion bias; the average cancels it) — costs "
+                        "one full chain fit per anchor")
     p.add_argument("--chain-balance", action="store_true",
                    help="per-link balanced forward Chamfer in the chain "
                         "refinement (equal gradient weight per link); "
@@ -229,6 +234,7 @@ def main(argv=None) -> int:
             dof_method=args.dof_method, end_video=args.end_video,
             refine=args.refine, refine_steps=args.refine_steps, tree=args.tree,
             chain_balance=args.chain_balance,
+            chain_anchors=args.chain_anchors,
             canonical_frames=args.canonical_frames,
             reassign=not args.no_reassign, dof_guard=not args.no_dof_guard,
             dof_probe=not args.no_dof_probe, prune_deg=args.prune_deg,

@@ -137,14 +137,21 @@ def chain_world_transforms(spec: ChainSpec, frames0: jax.Array,
     return jnp.stack(world)
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
+@functools.partial(jax.jit, static_argnames=("spec", "anchor_step"))
 def _chain_loss(spec: ChainSpec, frames0, link_pts, link_masks,
-                params, frames, frame_masks):
+                params, frames, frame_masks, anchor_step: int = 0):
     """Mean chamfer over all sequences and steps."""
     u = params["u"]
     u = u / jnp.sqrt(jnp.maximum(jnp.sum(u * u, -1, keepdims=True), 1e-18))
     o = params["o"]
-    theta = params["theta"].at[:, 0, :].set(0.0)  # (S, T, J)
+    if anchor_step == 0:
+        # every sequence starts from the shared home configuration, so the
+        # zero-angle pin applies to all of them
+        theta = params["theta"].at[:, 0, :].set(0.0)  # (S, T, J)
+    else:
+        # anchored fit: only sequence 0 at the anchor step is pinned to the
+        # registered canonical configuration (frames0 is taken there)
+        theta = params["theta"].at[0, anchor_step, :].set(0.0)
 
     L, P = link_pts.shape[:2]
     flat_pts = link_pts.reshape(L * P, 3)
@@ -164,10 +171,11 @@ def _chain_loss(spec: ChainSpec, frames0, link_pts, link_masks,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("spec", "num_steps", "lr", "total_steps"))
+                   static_argnames=("spec", "num_steps", "lr", "total_steps",
+                                    "anchor_step"))
 def _chain_fit_chunk(spec: ChainSpec, frames0, link_pts, link_masks,
                      frames, frame_masks, carry, num_steps: int, lr: float,
-                     total_steps: int):
+                     total_steps: int, anchor_step: int = 0):
     params, mu, nu, i, ema, path = carry
 
     # geometry parameters move much slower than angles: the angles carry
@@ -191,7 +199,7 @@ def _chain_fit_chunk(spec: ChainSpec, frames0, link_pts, link_masks,
         p, mu, nu, i, ema, path = c
         loss, g = jax.value_and_grad(
             lambda pp: _chain_loss(spec, frames0, link_pts, link_masks,
-                                   pp, frames, frame_masks)
+                                   pp, frames, frame_masks, anchor_step)
         )(p)
         i = i + 1
         mu = jax.tree.map(lambda m, gr: 0.9 * m + 0.1 * gr, mu, g)
@@ -228,6 +236,7 @@ def refine_chain(
     frame_masks: np.ndarray | None = None,  # (S, T, N) for ragged frames
     balance: bool = False,
     canonical_frames: int = 1,
+    anchor_step: int = 0,
     verbose: bool = False,
 ) -> tuple[list[JointEstimate], ChainResult]:
     """Jointly refine every joint against the raw frames of all sequences.
@@ -236,6 +245,15 @@ def refine_chain(
     returns; joints[j] connects links by id.  Returns updated
     JointEstimates (global axis/pos at the step-0 configuration, the
     frames the URDF writer consumes).
+
+    ``anchor_step`` selects which step of sequence 0 supplies the
+    canonical link clouds, the link frames, and the zero-angle pin.  Each
+    anchor sees a DIFFERENT occlusion pattern, so the directed axis bias
+    from occlusion-incomplete canonical clouds differs per anchor —
+    ``refine_chain_multi_anchor`` averages it out.  With ``anchor_step``
+    > 0 the returned JointEstimates are expressed at the ANCHOR
+    configuration, not step 0; consume ``ChainResult.axes/origins``
+    (parent-link-frame coordinates, configuration-invariant) instead.
 
     ``balance=True`` reweights the forward (model -> frame) Chamfer term so
     every link contributes equally regardless of its point count: the mask
@@ -265,15 +283,22 @@ def refine_chain(
     rng = np.random.default_rng(0)
     L = len(links)
     T_cm = cm.matrices.shape[0]
-    steps_used = sorted(
-        {int(t) for t in np.linspace(0, T_cm - 1, max(1, canonical_frames))}
-    )
+    anchor_step = int(np.clip(anchor_step, 0, T_cm - 1))
+    if canonical_frames <= 1:
+        steps_used = [anchor_step]
+    else:
+        rest = sorted(
+            {int(t) for t in np.linspace(0, T_cm - 1, canonical_frames)}
+            - {anchor_step}
+        )
+        # anchor first: _polish_canonical_union aligns onto locals_t[0]
+        steps_used = [anchor_step] + rest
     link_pts = np.zeros((L, points_per_link, 3), np.float32)
     link_masks = np.zeros((L, points_per_link), bool)
     frames0_np = np.zeros((L, 4, 4), np.float32)
     for i, link in enumerate(links):
         members = sorted(link.cluster_idx)
-        frames0_np[i] = _link_frame_np(cm, members, 0)
+        frames0_np[i] = _link_frame_np(cm, members, anchor_step)
         locals_t = []
         for t in steps_used:
             pts_t = np.asarray(cm.cluster_points[t])
@@ -313,14 +338,27 @@ def refine_chain(
 
     S, T = frames.shape[:2]
     theta0 = np.zeros((S, T, J), np.float32)
+    rel_anchor: dict[int, np.ndarray] = {}  # joint -> reference relative pose
     for s, cm_s in enumerate(cms[:S]):
         for j, joint in enumerate(joints):
             pm = sorted(next(l for l in links if l.id == joint.parent_link).cluster_idx)
             cmem = sorted(next(l for l in links if l.id == joint.child_link).cluster_idx)
             Tp = [_link_frame_np(cm_s, pm, t) for t in range(T)]
             Tc = [_link_frame_np(cm_s, cmem, t) for t in range(T)]
-            rel0 = np.linalg.inv(Tp[0]) @ Tc[0]
-            for t in range(1, T):
+            if anchor_step == 0:
+                # every sequence shares the home configuration; its own
+                # step-0 relative pose is the zero reference
+                rel0 = np.linalg.inv(Tp[0]) @ Tc[0]
+            else:
+                # anchored fit: the zero reference is sequence 0 at the
+                # anchor step (where frames0 is taken), for all sequences
+                if s == 0:
+                    rel_anchor[j] = (np.linalg.inv(Tp[anchor_step])
+                                     @ Tc[anchor_step])
+                rel0 = rel_anchor[j]
+            for t in range(T):
+                if t == 0 and anchor_step == 0:
+                    continue  # pinned to zero
                 rel_t = np.linalg.inv(Tp[t]) @ Tc[t]
                 d_rel = rel_t @ np.linalg.inv(rel0)
                 rv = ScipyRot.from_matrix(d_rel[:3, :3]).as_rotvec()
@@ -360,7 +398,7 @@ def refine_chain(
         n = min(dispatch_steps, remaining)
         carry, loss = _chain_fit_chunk(
             spec, f0, lp, lm, frames_j, fmasks, carry, n, lr,
-            total_steps=steps,
+            total_steps=steps, anchor_step=anchor_step,
         )
         remaining -= n
         done = steps - remaining
@@ -407,6 +445,104 @@ def refine_chain(
         )
     result = ChainResult(jnp.asarray(u), jnp.asarray(o), jnp.asarray(theta),
                          loss if loss is not None else jnp.asarray(jnp.inf))
+    return refined, result
+
+
+def refine_chain_multi_anchor(
+    links,
+    joints: list[JointEstimate],
+    cms,
+    frames: np.ndarray,
+    anchors: int = 1,
+    verbose: bool = False,
+    **kw,
+) -> tuple[list[JointEstimate], ChainResult]:
+    """Average the chain fit over several canonical anchor steps (ours).
+
+    The single-anchor chain fit carries a DIRECTED axis bias: the
+    canonical link clouds are occlusion-incomplete in a step-0-specific
+    way, so surface that appears in the raw frames with nothing in the
+    model to explain it pulls weakly-constrained axes persistently
+    (dir-ratio ~1 in the fit diagnostics; RESULTS.md round-3 findings).
+    Filling the clouds via multi-frame unions was measured NEGATIVE — the
+    union smears the canonical geometry by the per-step registration
+    error and the smear is non-rigid (``--canonical-frames`` A/B).
+
+    This attacks the bias rather than the occlusion: run ``anchors``
+    independent fits, each anchored at a different step of sequence 0
+    (different pose => different occlusion pattern => different bias
+    direction), and average the fitted axes/origins in the PARENT-LINK
+    frame, where they are configuration-invariant.  Geometry averaging
+    cannot smear the model clouds because each fit uses a single-step
+    (un-smeared) canonical cloud.
+
+    Returns JointEstimates at the step-0 configuration (writer
+    convention) and a ChainResult whose thetas/loss come from the
+    anchor-0 fit with the axes/origins replaced by the averages.
+    """
+    anchors = max(1, int(anchors))
+    if anchors == 1:
+        return refine_chain(links, joints, cms, frames, verbose=verbose, **kw)
+
+    T_cm = cms[0].matrices.shape[0]
+    anchor_steps = sorted({int(t) for t in np.linspace(0, T_cm - 1, anchors)})
+    fits = []
+    res0 = None
+    for a in anchor_steps:
+        if verbose:
+            print(f"[chain] multi-anchor fit at step {a} "
+                  f"({len(fits) + 1}/{len(anchor_steps)})", flush=True)
+        _, res = refine_chain(links, joints, cms, frames, anchor_step=a,
+                              verbose=verbose, **kw)
+        if a == 0:
+            res0 = res
+        fits.append(res)
+    assert res0 is not None  # linspace always includes 0
+
+    # sign-align each anchor's axes to the anchor-0 fit before averaging
+    # (the axis sign is a gauge choice; a flip would cancel instead of
+    # average).  Origins are points on the axis line — sign-free.
+    u0 = np.asarray(res0.axes, np.float64)
+    us, origs = [], []
+    for res in fits:
+        u = np.asarray(res.axes, np.float64)
+        sign = np.sign(np.sum(u * u0, axis=1, keepdims=True))
+        sign[sign == 0] = 1.0
+        us.append(u * sign)
+        origs.append(np.asarray(res.origins, np.float64))
+    u_avg = np.mean(us, axis=0)
+    u_avg = u_avg / np.linalg.norm(u_avg, axis=1, keepdims=True)
+    o_avg = np.mean(origs, axis=0)
+
+    if verbose:
+        # per-joint spread across anchors: a direct read of the
+        # occlusion-bias magnitude the average is cancelling
+        spreads = [
+            float(np.degrees(np.arccos(np.clip(
+                min(float(u[j] @ u_avg[j]) for u in us), -1.0, 1.0))))
+            for j in range(u_avg.shape[0])
+        ]
+        print(f"[chain] multi-anchor axis spread (deg, max vs mean) "
+              f"{np.round(spreads, 2).tolist()}", flush=True)
+
+    # express at the step-0 configuration for the URDF writer
+    refined = []
+    for j, joint in enumerate(joints):
+        members = sorted(
+            next(l for l in links if l.id == joint.parent_link).cluster_idx)
+        p0 = _link_frame_np(cms[0], members, 0).astype(np.float64)
+        refined.append(
+            JointEstimate(
+                parent_link=joint.parent_link,
+                child_link=joint.child_link,
+                local_axis=u_avg[j],
+                local_pos=np.concatenate([o_avg[j], [1.0]]),
+                global_pos=p0[:3, :3] @ o_avg[j] + p0[:3, 3],
+                global_axis=p0[:3, :3] @ u_avg[j],
+            )
+        )
+    result = ChainResult(jnp.asarray(u_avg), jnp.asarray(o_avg),
+                         res0.thetas, res0.loss)
     return refined, result
 
 

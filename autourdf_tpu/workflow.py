@@ -325,6 +325,7 @@ def run_build_urdf(
     refine_steps: int = 1200,
     chain_balance: bool = False,
     canonical_frames: int = 1,
+    chain_anchors: int = 1,
     tree: str = "motion",
     reassign: bool = True,
     dof_guard: bool = True,
@@ -368,6 +369,11 @@ def run_build_urdf(
     ``drift_spread_deg``) — the signature of registration drift on a
     large rigid shell rather than articulation (the faucet/trashcan/
     storage spurious joints, RESULTS.md round-3 findings).
+
+    ``chain_anchors`` (default 1) averages the chain fit over that many
+    canonical anchor steps (joints.chain.refine_chain_multi_anchor) to
+    cancel the directed occlusion bias of a single anchor; costs one full
+    chain fit per anchor.
 
     ``dof_probe`` (default True) arbitrates the unknown-DoF link count
     with the chain-fit probe ladder (structure.probe_k_selection): the
@@ -493,13 +499,14 @@ def run_build_urdf(
     )
 
     if refine == "chain" and joints:
-        from .joints.chain import prune_static_joints, refine_chain
+        from .joints.chain import prune_static_joints, refine_chain_multi_anchor
 
         if refine_frames is None:
             refine_frames = _load_refine_frames(cfg, end_video)
         frames, fmasks = refine_frames
-        joints, chain_res = refine_chain(
-            links, joints, cms, frames, steps=refine_steps,
+        joints, chain_res = refine_chain_multi_anchor(
+            links, joints, cms, frames, anchors=chain_anchors,
+            steps=refine_steps,
             points_per_link=1024, frame_masks=fmasks,
             balance=chain_balance, canonical_frames=canonical_frames,
             verbose=verbose,
@@ -556,8 +563,9 @@ def run_build_urdf(
                           f"dof={dof}")
                 joints = estimate_joints_from_tree(
                     links, cms, 0, cfg.end_steps - cfg.start_steps, interval=4)
-                joints, _ = refine_chain(
-                    links, joints, cms, frames, steps=refine_steps,
+                joints, _ = refine_chain_multi_anchor(
+                    links, joints, cms, frames, anchors=chain_anchors,
+                    steps=refine_steps,
                     points_per_link=1024, frame_masks=fmasks,
                     balance=chain_balance, canonical_frames=canonical_frames,
                     verbose=verbose,

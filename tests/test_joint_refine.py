@@ -103,6 +103,114 @@ class TestChainRefine:
         assert np.linalg.norm(perp) < 0.05
 
 
+class TestMultiAnchorChain:
+    def test_anchored_and_averaged_fit_recover_axis(self, rng):
+        """refine_chain_multi_anchor: two fits anchored at different steps
+        average to the true hinge axis, expressed at step 0 for the
+        writer; the anchored (non-zero) fit pins sequence 0 at its own
+        anchor step instead of all sequences at step 0."""
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_structure_joints_mesh import make_hinge_coordmap
+
+        from autourdf_tpu.joints.chain import refine_chain_multi_anchor
+        from autourdf_tpu.structure import (
+            cluster_mst,
+            combined_sum_map,
+            coord_clustering,
+            kinematics_tree,
+        )
+
+        cm = make_hinge_coordmap(num_frames=6, angle_step=0.2)
+        sum_map = combined_sum_map([cm], "pose")
+        groups, _, _ = coord_clustering(sum_map, 2)
+        links = kinematics_tree(cm, groups, cluster_mst(cm))
+
+        frames = []
+        for t in range(6):
+            pts = np.asarray(cm.cluster_points[t])
+            labels = np.asarray(cm.cluster_labels[t])
+            world = np.zeros_like(pts)
+            for k in range(cm.num_coords):
+                sel = labels == k
+                M = cm.matrices[t, k]
+                world[sel] = pts[sel] @ M[:3, :3].T + M[:3, 3]
+            frames.append(world.astype(np.float32))
+        frames = np.stack(frames)[None]
+
+        bad_axis = ScipyRot.from_rotvec([0.44, 0, 0]).as_matrix() @ np.array([0, 0, 1.0])
+        joints = [JointEstimate(
+            parent_link=links[0].id, child_link=links[1].id,
+            local_axis=bad_axis, local_pos=np.zeros(4),
+            global_pos=np.array([0.02, -0.03, 0.0]),
+            global_axis=bad_axis,
+        )]
+        refined, result = refine_chain_multi_anchor(
+            links, joints, [cm], frames, anchors=2,
+            steps=200, points_per_link=256,
+        )
+        ax = refined[0].global_axis / np.linalg.norm(refined[0].global_axis)
+        err = np.degrees(np.arccos(min(1.0, abs(ax @ np.array([0, 0, 1.0])))))
+        assert err < 5.0, f"axis err {err}"
+        gp = refined[0].global_pos[:3]
+        perp = gp - (gp @ np.array([0, 0, 1.0])) * np.array([0, 0, 1.0])
+        assert np.linalg.norm(perp) < 0.05
+        # ChainResult carries the averaged parent-frame axis + anchor-0
+        # thetas (pruning consumes the ranges)
+        assert result.thetas.shape == (1, 6, 1)
+        rng_deg = np.degrees(float(np.asarray(result.thetas).max()
+                                   - np.asarray(result.thetas).min()))
+        assert rng_deg > 20.0
+
+    def test_anchors_one_delegates(self, rng):
+        """anchors=1 must be byte-identical to plain refine_chain (the
+        campaign default path is untouched)."""
+        from autourdf_tpu.joints.chain import (
+            refine_chain,
+            refine_chain_multi_anchor,
+        )
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_structure_joints_mesh import make_hinge_coordmap
+
+        from autourdf_tpu.structure import (
+            cluster_mst,
+            combined_sum_map,
+            coord_clustering,
+            kinematics_tree,
+        )
+
+        cm = make_hinge_coordmap(num_frames=4, angle_step=0.2)
+        sum_map = combined_sum_map([cm], "pose")
+        groups, _, _ = coord_clustering(sum_map, 2)
+        links = kinematics_tree(cm, groups, cluster_mst(cm))
+        frames = []
+        for t in range(4):
+            pts = np.asarray(cm.cluster_points[t])
+            labels = np.asarray(cm.cluster_labels[t])
+            world = np.zeros_like(pts)
+            for k in range(cm.num_coords):
+                sel = labels == k
+                M = cm.matrices[t, k]
+                world[sel] = pts[sel] @ M[:3, :3].T + M[:3, 3]
+            frames.append(world.astype(np.float32))
+        frames = np.stack(frames)[None]
+        joints = [JointEstimate(
+            parent_link=links[0].id, child_link=links[1].id,
+            local_axis=np.array([0, 0, 1.0]), local_pos=np.zeros(4),
+            global_pos=np.zeros(3), global_axis=np.array([0, 0, 1.0]),
+        )]
+        r1, c1 = refine_chain(links, joints, [cm], frames, steps=20,
+                              points_per_link=128)
+        r2, c2 = refine_chain_multi_anchor(links, joints, [cm], frames,
+                                           anchors=1, steps=20,
+                                           points_per_link=128)
+        np.testing.assert_array_equal(np.asarray(c1.axes), np.asarray(c2.axes))
+        np.testing.assert_array_equal(np.asarray(c1.thetas),
+                                      np.asarray(c2.thetas))
+        np.testing.assert_allclose(r1[0].global_axis, r2[0].global_axis)
+
+
 class TestPruneStaticJoints:
     def _mk(self):
         from autourdf_tpu.structure.tree import LinkNode
