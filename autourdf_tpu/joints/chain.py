@@ -55,6 +55,11 @@ class ChainResult(NamedTuple):
     origins: jax.Array   # (J, 3) origins, parent-link frames
     thetas: jax.Array    # (S, T, J)
     loss: jax.Array
+    # per-joint loss sensitivity: (loss with theta_j frozen to the anchor
+    # configuration) / (fitted loss) - 1.  Real articulation costs real
+    # chamfer when frozen; a joint whose fitted motion is a symmetry-flat
+    # or drift direction costs ~nothing (see joint freeze-delta probe).
+    freeze_deltas: np.ndarray | None = None
 
 
 from .refine import _rot_about_axis as _rot_about
@@ -137,6 +142,30 @@ def chain_world_transforms(spec: ChainSpec, frames0: jax.Array,
     return jnp.stack(world)
 
 
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _theta_loss(spec: ChainSpec, frames0, link_pts, link_masks,
+                u, o, theta, frames, frame_masks):
+    """Mean chamfer over all sequences/steps for explicit (u, o, theta).
+
+    Core of :func:`_chain_loss` without the unit-normalization and
+    anchor pinning; also drives the post-fit freeze-delta probe.
+    """
+    L, P = link_pts.shape[:2]
+    flat_mask = link_masks.reshape(L * P)
+
+    def one_step(th, frame, fmask):
+        world = chain_world_transforms(spec, frames0, u, o, th)  # (L,4,4)
+        posed = se3.transform_points(world, link_pts)  # (L,P,3)
+        return chamfer_distance(
+            posed.reshape(L * P, 3), frame, flat_mask, fmask, norm=1
+        )
+
+    def one_seq(th_seq, f_seq, m_seq):
+        return jnp.mean(jax.vmap(one_step)(th_seq, f_seq, m_seq))
+
+    return jnp.mean(jax.vmap(one_seq)(theta, frames, frame_masks))
+
+
 @functools.partial(jax.jit, static_argnames=("spec", "anchor_step"))
 def _chain_loss(spec: ChainSpec, frames0, link_pts, link_masks,
                 params, frames, frame_masks, anchor_step: int = 0):
@@ -153,21 +182,8 @@ def _chain_loss(spec: ChainSpec, frames0, link_pts, link_masks,
         # registered canonical configuration (frames0 is taken there)
         theta = params["theta"].at[0, anchor_step, :].set(0.0)
 
-    L, P = link_pts.shape[:2]
-    flat_pts = link_pts.reshape(L * P, 3)
-    flat_mask = link_masks.reshape(L * P)
-
-    def one_step(th, frame, fmask):
-        world = chain_world_transforms(spec, frames0, u, o, th)  # (L,4,4)
-        posed = se3.transform_points(world, link_pts)  # (L,P,3)
-        return chamfer_distance(
-            posed.reshape(L * P, 3), frame, flat_mask, fmask, norm=1
-        )
-
-    def one_seq(th_seq, f_seq, m_seq):
-        return jnp.mean(jax.vmap(one_step)(th_seq, f_seq, m_seq))
-
-    return jnp.mean(jax.vmap(one_seq)(theta, frames, frame_masks))
+    return _theta_loss(spec, frames0, link_pts, link_masks,
+                       u, o, theta, frames, frame_masks)
 
 
 @functools.partial(jax.jit,
@@ -443,8 +459,29 @@ def refine_chain(
                 global_axis=global_axis,
             )
         )
+    # freeze-delta probe: how much chamfer does each joint's fitted motion
+    # actually buy?  Zero theta_j (= freeze the child to the anchor
+    # configuration) with everything else fitted and re-evaluate.  Real
+    # articulation leaves observed surface unexplained (door swings, the
+    # model door sits still -> large delta); a joint whose motion is a
+    # symmetry-flat direction (cylindrical shell about its own axis) or
+    # registration-drift absorption costs ~nothing.  One forward eval per
+    # joint, host-looped to keep each device dispatch small (tunnel-safe).
+    u_dev = jnp.asarray(u, jnp.float32)
+    o_dev = jnp.asarray(o, jnp.float32)
+    th_dev = jnp.asarray(theta)
+    base_loss = float(_theta_loss(spec, f0, lp, lm, u_dev, o_dev, th_dev,
+                                  frames_j, fmasks))
+    freeze = np.zeros(J, np.float64)
+    eye = np.eye(J, dtype=np.float32)
+    for j in range(J):
+        mask = jnp.asarray(1.0 - eye[j])
+        fl = float(_theta_loss(spec, f0, lp, lm, u_dev, o_dev,
+                               th_dev * mask, frames_j, fmasks))
+        freeze[j] = fl / max(base_loss, 1e-12) - 1.0
     result = ChainResult(jnp.asarray(u), jnp.asarray(o), jnp.asarray(theta),
-                         loss if loss is not None else jnp.asarray(jnp.inf))
+                         loss if loss is not None else jnp.asarray(jnp.inf),
+                         freeze_deltas=freeze)
     return refined, result
 
 
@@ -542,7 +579,8 @@ def refine_chain_multi_anchor(
             )
         )
     result = ChainResult(jnp.asarray(u_avg), jnp.asarray(o_avg),
-                         res0.thetas, res0.loss)
+                         res0.thetas, res0.loss,
+                         freeze_deltas=res0.freeze_deltas)
     return refined, result
 
 

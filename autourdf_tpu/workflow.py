@@ -526,13 +526,16 @@ def run_build_urdf(
         ranges = np.degrees((th.max(axis=1) - th.min(axis=1)).max(axis=0))
         coh = joint_screw_coherence(
             links, cms, 0, cfg.end_steps - cfg.start_steps, interval=4)
+        fdel = chain_res.freeze_deltas
         if verbose:
             for j, (joint, c) in enumerate(zip(joints, coh)):
+                fd = (f" freeze {fdel[j] * 100:.1f}%"
+                      if fdel is not None else "")
                 print(f"[prune-diag] joint {joint.parent_link}->"
                       f"{joint.child_link}: theta_range {ranges[j]:.1f}deg "
                       f"conc {c.concentration:.3f} "
                       f"spread {c.seq_spread_deg:.1f}deg "
-                      f"total {c.total_angle_deg:.0f}deg", flush=True)
+                      f"total {c.total_angle_deg:.0f}deg{fd}", flush=True)
         drift_static: list[int] = []
         if drift_prune:
             for j, c in enumerate(coh):

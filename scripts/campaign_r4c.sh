@@ -24,6 +24,7 @@ fi
 echo "r4c start $(date -u +%H:%M:%S)"
 
 bash scripts/ab_anchors.sh
+bash scripts/fd_probe.sh
 bash scripts/campaign_r3.sh batch4
 bash scripts/seeds_ext.sh
 echo "campaign_r4c done $(date -u +%H:%M:%S)"

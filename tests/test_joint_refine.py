@@ -101,6 +101,12 @@ class TestChainRefine:
         gp = refined[0].global_pos[:3]
         perp = gp - (gp @ np.array([0, 0, 1.0])) * np.array([0, 0, 1.0])
         assert np.linalg.norm(perp) < 0.05
+        # freeze-delta probe: the hinge really articulates ~57 deg over
+        # the sequence, so freezing it must leave large unexplained
+        # chamfer (the drift-veto discriminator; joints/chain.py)
+        assert result.freeze_deltas is not None
+        assert result.freeze_deltas[0] > 1.0, (
+            f"real hinge freeze delta {result.freeze_deltas[0]}")
 
 
 class TestMultiAnchorChain:
