@@ -60,6 +60,10 @@ class ChainResult(NamedTuple):
     # chamfer when frozen; a joint whose fitted motion is a symmetry-flat
     # or drift direction costs ~nothing (see joint freeze-delta probe).
     freeze_deltas: np.ndarray | None = None
+    # fraction of all model points that can move when joint j moves (its
+    # child link's subtree) — the natural scale of freeze_deltas[j]: a
+    # small distal link's real articulation produces a small raw delta.
+    subtree_share: np.ndarray | None = None
 
 
 from .refine import _rot_about_axis as _rot_about
@@ -479,9 +483,23 @@ def refine_chain(
         fl = float(_theta_loss(spec, f0, lp, lm, u_dev, o_dev,
                                th_dev * mask, frames_j, fmasks))
         freeze[j] = fl / max(base_loss, 1e-12) - 1.0
+    # natural scale of each delta: the point share of the child's subtree
+    # (only those points move when theta_j is frozen)
+    counts = link_masks.sum(axis=1).astype(np.float64)  # (L,) pre-balance
+    children: dict[int, list[int]] = {}
+    for pi, ci in zip(spec.parent_index, spec.child_index):
+        children.setdefault(pi, []).append(ci)
+    share = np.zeros(J, np.float64)
+    for j, cj in enumerate(spec.child_index):
+        stack, tot = [cj], 0.0
+        while stack:
+            n = stack.pop()
+            tot += counts[n]
+            stack.extend(children.get(n, []))
+        share[j] = tot / max(counts.sum(), 1.0)
     result = ChainResult(jnp.asarray(u), jnp.asarray(o), jnp.asarray(theta),
                          loss if loss is not None else jnp.asarray(jnp.inf),
-                         freeze_deltas=freeze)
+                         freeze_deltas=freeze, subtree_share=share)
     return refined, result
 
 
@@ -580,7 +598,8 @@ def refine_chain_multi_anchor(
         )
     result = ChainResult(jnp.asarray(u_avg), jnp.asarray(o_avg),
                          res0.thetas, res0.loss,
-                         freeze_deltas=res0.freeze_deltas)
+                         freeze_deltas=res0.freeze_deltas,
+                         subtree_share=res0.subtree_share)
     return refined, result
 
 

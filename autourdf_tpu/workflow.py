@@ -527,10 +527,15 @@ def run_build_urdf(
         coh = joint_screw_coherence(
             links, cms, 0, cfg.end_steps - cfg.start_steps, interval=4)
         fdel = chain_res.freeze_deltas
+        fshare = chain_res.subtree_share
         if verbose:
             for j, (joint, c) in enumerate(zip(joints, coh)):
-                fd = (f" freeze {fdel[j] * 100:.1f}%"
-                      if fdel is not None else "")
+                fd = ""
+                if fdel is not None:
+                    fd = f" freeze {fdel[j] * 100:.1f}%"
+                    if fshare is not None and fshare[j] > 0:
+                        # share-normalized: delta per unit of movable mass
+                        fd += f" (norm {fdel[j] / fshare[j] * 100:.0f}%)"
                 print(f"[prune-diag] joint {joint.parent_link}->"
                       f"{joint.child_link}: theta_range {ranges[j]:.1f}deg "
                       f"conc {c.concentration:.3f} "
