@@ -217,6 +217,61 @@ class TestMultiAnchorChain:
         np.testing.assert_allclose(r1[0].global_axis, r2[0].global_axis)
 
 
+class TestFreezeDeltaDiscriminator:
+    def test_symmetry_flat_motion_is_chamfer_free(self):
+        """The mechanism behind the freeze-delta veto: a cylinder split
+        into two full annular bands (the shape of a single-linkage split
+        of a drifting cylindrical shell — the trashcan case) can rotate
+        one band about the cylinder axis for free, while the same
+        rotation about a transverse axis moves points off-surface and
+        costs real loss."""
+        from autourdf_tpu.joints.chain import ChainSpec, _theta_loss
+
+        rng = np.random.default_rng(3)
+
+        def cylinder(m):
+            phi = rng.uniform(0, 2 * np.pi, m)
+            z = rng.uniform(-0.3, 0.3, m)
+            return np.stack(
+                [0.2 * np.cos(phi), 0.2 * np.sin(phi), z], -1
+            ).astype(np.float32), z
+
+        # canonical bands and observed frames sampled INDEPENDENTLY (as
+        # in the pipeline: FPS-subsampled canonicals vs per-step capture)
+        # so the baseline sits at the sampling-density floor already
+        pts, zc = cylinder(6000)
+        P = 1024
+        shell_a = pts[zc < 0.0][:P]   # lower band (full ring)
+        shell_b = pts[zc >= 0.0][:P]  # upper band (full ring)
+        link_pts = jnp.asarray(np.stack([shell_a, shell_b]))
+        link_masks = jnp.ones((2, P), bool)
+        frames0 = jnp.tile(jnp.eye(4, dtype=jnp.float32), (2, 1, 1))
+        spec = ChainSpec(parent_index=(0,), child_index=(1,), root_index=0)
+
+        T = 3
+        n = 5000
+        frames = jnp.asarray(
+            np.stack([cylinder(n)[0] for _ in range(T)])[None])
+        fmasks = jnp.ones((1, T, n), bool)
+        o = jnp.zeros((1, 3), jnp.float32)
+        th0 = jnp.zeros((1, T, 1), jnp.float32)
+        th_wander = jnp.asarray(
+            np.array([0.0, 0.5, 1.0], np.float32).reshape(1, T, 1))
+
+        def loss(u, th):
+            return float(_theta_loss(spec, frames0, link_pts, link_masks,
+                                     jnp.asarray(u, jnp.float32).reshape(1, 3),
+                                     o, th, frames, fmasks))
+
+        base = loss([0, 0, 1.0], th0)
+        flat = loss([0, 0, 1.0], th_wander)       # about the cylinder axis
+        off = loss([1.0, 0, 0], th_wander)        # transverse axis
+        # 57 deg of axial wander is nearly free; the same wander off-axis
+        # is catastrophic — this gap is what the veto reads
+        assert flat / base - 1.0 < 0.15, f"flat delta {flat / base - 1}"
+        assert off / base - 1.0 > 1.0, f"off-axis delta {off / base - 1}"
+
+
 class TestPruneStaticJoints:
     def _mk(self):
         from autourdf_tpu.structure.tree import LinkNode
