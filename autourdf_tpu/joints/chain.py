@@ -408,9 +408,15 @@ def refine_chain(
     # wedge the tunneled device (solo12 at 20k points faulted every
     # probe after the first oversized dispatch)
     work = L * points_per_link * float(frames.shape[2])
+    if frames.shape[2] > 16384:
+        # large-M kernel regime: Mosaic materializes the distance block
+        # twice (ops/knn.py VMEM accounting), ~2x slower per unit work —
+        # the equal-work bound alone still wedged solo12's k>=12 probes
+        # at 20k points (campaign_logs/solo12_20k.log)
+        work *= 2.0
     base = 6 * 1024 * 5000.0
     dispatch_steps = int(np.clip(dispatch_steps * base / max(work, 1.0),
-                                 4, dispatch_steps))
+                                 2, dispatch_steps))
     remaining = steps
     loss = None
     win_u, win_path, win_step = np.asarray(params["u"]), 0.0, 0
