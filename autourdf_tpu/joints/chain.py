@@ -257,6 +257,7 @@ def refine_chain(
     balance: bool = False,
     canonical_frames: int = 1,
     anchor_step: int = 0,
+    freeze_probe: bool = True,
     verbose: bool = False,
 ) -> tuple[list[JointEstimate], ChainResult]:
     """Jointly refine every joint against the raw frames of all sequences.
@@ -477,32 +478,35 @@ def refine_chain(
     # symmetry-flat direction (cylindrical shell about its own axis) or
     # registration-drift absorption costs ~nothing.  One forward eval per
     # joint, host-looped to keep each device dispatch small (tunnel-safe).
-    u_dev = jnp.asarray(u, jnp.float32)
-    o_dev = jnp.asarray(o, jnp.float32)
-    th_dev = jnp.asarray(theta)
-    base_loss = float(_theta_loss(spec, f0, lp, lm, u_dev, o_dev, th_dev,
-                                  frames_j, fmasks))
-    freeze = np.zeros(J, np.float64)
-    eye = np.eye(J, dtype=np.float32)
-    for j in range(J):
-        mask = jnp.asarray(1.0 - eye[j])
-        fl = float(_theta_loss(spec, f0, lp, lm, u_dev, o_dev,
-                               th_dev * mask, frames_j, fmasks))
-        freeze[j] = fl / max(base_loss, 1e-12) - 1.0
-    # natural scale of each delta: the point share of the child's subtree
-    # (only those points move when theta_j is frozen)
-    counts = link_masks.sum(axis=1).astype(np.float64)  # (L,) pre-balance
-    children: dict[int, list[int]] = {}
-    for pi, ci in zip(spec.parent_index, spec.child_index):
-        children.setdefault(pi, []).append(ci)
-    share = np.zeros(J, np.float64)
-    for j, cj in enumerate(spec.child_index):
-        stack, tot = [cj], 0.0
-        while stack:
-            n = stack.pop()
-            tot += counts[n]
-            stack.extend(children.get(n, []))
-        share[j] = tot / max(counts.sum(), 1.0)
+    # Skipped for the ladder's short probe fits (freeze_probe=False).
+    freeze = share = None
+    if freeze_probe:
+        u_dev = jnp.asarray(u, jnp.float32)
+        o_dev = jnp.asarray(o, jnp.float32)
+        th_dev = jnp.asarray(theta)
+        base_loss = float(_theta_loss(spec, f0, lp, lm, u_dev, o_dev, th_dev,
+                                      frames_j, fmasks))
+        freeze = np.zeros(J, np.float64)
+        eye = np.eye(J, dtype=np.float32)
+        for j in range(J):
+            mask = jnp.asarray(1.0 - eye[j])
+            fl = float(_theta_loss(spec, f0, lp, lm, u_dev, o_dev,
+                                   th_dev * mask, frames_j, fmasks))
+            freeze[j] = fl / max(base_loss, 1e-12) - 1.0
+        # natural scale of each delta: the point share of the child's
+        # subtree (only those points move when theta_j is frozen)
+        counts = link_masks.sum(axis=1).astype(np.float64)  # pre-balance
+        children: dict[int, list[int]] = {}
+        for pi, ci in zip(spec.parent_index, spec.child_index):
+            children.setdefault(pi, []).append(ci)
+        share = np.zeros(J, np.float64)
+        for j, cj in enumerate(spec.child_index):
+            stack, tot = [cj], 0.0
+            while stack:
+                n = stack.pop()
+                tot += counts[n]
+                stack.extend(children.get(n, []))
+            share[j] = tot / max(counts.sum(), 1.0)
     result = ChainResult(jnp.asarray(u), jnp.asarray(o), jnp.asarray(theta),
                          loss if loss is not None else jnp.asarray(jnp.inf),
                          freeze_deltas=freeze, subtree_share=share)
@@ -553,8 +557,12 @@ def refine_chain_multi_anchor(
         if verbose:
             print(f"[chain] multi-anchor fit at step {a} "
                   f"({len(fits) + 1}/{len(anchor_steps)})", flush=True)
+        # freeze-delta diagnostics only from the anchor-0 fit (whose
+        # thetas/loss the combined ChainResult reports)
+        kw_a = dict(kw)
+        kw_a["freeze_probe"] = kw.get("freeze_probe", True) and a == 0
         _, res = refine_chain(links, joints, cms, frames, anchor_step=a,
-                              verbose=verbose, **kw)
+                              verbose=verbose, **kw_a)
         if a == 0:
             res0 = res
         fits.append(res)

@@ -124,7 +124,7 @@ def probe_k_selection(
                     _, result = refine_chain(
                         links, joints, cms, frames, steps=probe_steps,
                         points_per_link=points_per_link,
-                        frame_masks=frame_masks,
+                        frame_masks=frame_masks, freeze_probe=False,
                     )
                     val = min(val, float(result.loss))
                 except Exception as e:  # degenerate candidate (cyclic...)
@@ -274,7 +274,7 @@ def chain_fit_dof_search(
             joints = estimate_joints_from_tree(links, sub_cms, 0, T, interval=4)
             _, chain = refine_chain(
                 links, joints, sub_cms, sub_frames, steps=fit_steps,
-                points_per_link=points_per_link,
+                points_per_link=points_per_link, freeze_probe=False,
             )
             loss = float(chain.loss)
         except Exception as e:  # degenerate candidate (e.g. cyclic graph)
