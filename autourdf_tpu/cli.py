@@ -144,6 +144,12 @@ def main(argv=None) -> int:
     p.add_argument("--no-dof-probe", action="store_true",
                    help="skip the chain-fit probe ladder that arbitrates "
                         "the unknown-DoF link count against the raw clouds")
+    p.add_argument("--ladder-share-norm", action="store_true",
+                   help="judge each ladder drop against the point share "
+                        "of the region the split changes (a correct split "
+                        "of a small distal link can only buy a small "
+                        "global chamfer drop; fixes many-small-link "
+                        "under-splits)")
     p.add_argument("--prune-deg", type=float, default=2.0,
                    help="after chain refinement, merge child links whose "
                         "fitted joint angle range never exceeds this many "
@@ -237,7 +243,9 @@ def main(argv=None) -> int:
             chain_anchors=args.chain_anchors,
             canonical_frames=args.canonical_frames,
             reassign=not args.no_reassign, dof_guard=not args.no_dof_guard,
-            dof_probe=not args.no_dof_probe, prune_deg=args.prune_deg,
+            dof_probe=not args.no_dof_probe,
+            ladder_share_norm=args.ladder_share_norm,
+            prune_deg=args.prune_deg,
             drift_prune=args.drift_prune,
             drift_theta_deg=args.drift_theta_deg,
             drift_conc=args.drift_conc,

@@ -50,6 +50,7 @@ def probe_k_selection(
     probe_steps: int = 60,
     points_per_link: int = 256,
     carry_stack: np.ndarray | None = None,
+    share_normalize: bool = False,
     verbose: bool = False,
 ) -> tuple[list[set[int]], dict[int, float]]:
     """Ladder probe around the statistical pick ``k0``; returns the
@@ -137,14 +138,37 @@ def probe_k_selection(
                       f"probe loss {val:.5f}")
         return loss_cache[k]
 
+    share = None
+    if share_normalize:
+        # point share of the region that CHANGES between partition(k-1)
+        # and partition(k) — the denominator that makes a small distal
+        # link's split drop comparable to a large link's (a correct split
+        # of an 18-DoF hexapod's last leg segment buys only 3-7% global
+        # chamfer, below any fixed bar; pxs s2025 under-split to k=16).
+        # Robust to carry reassignment: "changed" = groups of partition(k)
+        # that are not groups of partition(k-1) verbatim.
+        labels0 = np.asarray(cms[0].cluster_labels[0])
+        counts = np.bincount(labels0, minlength=K).astype(np.float64)
+
+        def share(k: int) -> float:
+            if k - 1 < k_min:
+                return 1.0
+            prev = {frozenset(g) for g in partition(k - 1)}
+            changed = [g for g in partition(k) if frozenset(g) not in prev]
+            if not changed:
+                return 1.0
+            pts = sum(float(counts[i]) for g in changed for i in g)
+            return float(np.clip(pts / max(counts.sum(), 1.0), 0.02, 1.0))
+
     best_k = ladder_select(loss, k0, k_min=k_min, k_max=k_max, eps=eps,
-                           lookahead=lookahead)
+                           lookahead=lookahead, share=share)
     if best_k is None:
         best_k = k0
     if verbose:
         ks = sorted(loss_cache)
+        tag = ", share-norm" if share_normalize else ""
         print(f"[kprobe] selected k={best_k} "
-              f"(window {ks[0]}..{ks[-1]}, eps {eps:.2f})")
+              f"(window {ks[0]}..{ks[-1]}, eps {eps:.2f}{tag})")
     return partition(best_k), loss_cache
 
 
@@ -156,6 +180,7 @@ def ladder_select(
     eps: float = 0.10,
     lookahead: int = 3,
     drift_factor: float = 2.5,
+    share=None,
 ) -> int | None:
     """Pure ladder walk + drift-normalized last-significant-drop selection.
 
@@ -175,6 +200,15 @@ def ladder_select(
     ones 1.0-1.3x.  With no significant drop anywhere the walk found no
     articulation evidence against the statistical pick — return ``k0``
     (never the window minimum, which just rewards the drift).
+
+    ``share`` (optional callable k -> point share of the region that the
+    k-1 -> k split changes, clipped away from 0) normalizes each drop
+    before significance is judged: a correct split of a small distal
+    link can only buy a small GLOBAL chamfer drop, so the raw criterion
+    systematically under-splits many-small-link robots while the
+    share-normalized one judges the drop against what that region could
+    possibly contribute.  The walk itself stays raw — only the final
+    selection normalizes.
     """
     probed: dict[int, float] = {}
 
@@ -213,14 +247,24 @@ def ladder_select(
     def drop(k: int) -> float:
         if k - 1 in probed and np.isfinite(probed[k - 1]) and \
                 np.isfinite(probed[k]) and probed[k] > 0:
-            return probed[k - 1] / probed[k] - 1.0
+            raw = probed[k - 1] / probed[k] - 1.0
+            if share is not None:
+                return raw / share(k)
+            return raw
         return 0.0
 
     best_k = None
     for k in ks:
         above = [drop(k2) for k2 in ks if k2 > k and k2 - 1 in probed]
         drift = float(np.median(above)) if above else 0.0
-        if drop(k) >= max(eps, drift_factor * drift):
+        floor = eps
+        if share is not None and not above:
+            # window edge: no successors to estimate the local drift, and
+            # normalization can lift pure drift past the raw eps floor
+            # (laptop at share 0.5).  Demand the >=35% under-split-band
+            # signal instead.
+            floor = max(eps, 0.35)
+        if drop(k) >= max(floor, drift_factor * drift):
             best_k = k
     return best_k if best_k is not None else int(np.clip(k0, ks[0], ks[-1]))
 

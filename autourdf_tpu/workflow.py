@@ -332,6 +332,7 @@ def run_build_urdf(
     dof_probe: bool = True,
     dof_probe_steps: int = 60,
     dof_probe_points: int = 256,
+    ladder_share_norm: bool = False,
     prune_deg: float = 2.0,
     drift_prune: bool = False,
     drift_theta_deg: float = 12.0,
@@ -459,6 +460,7 @@ def run_build_urdf(
             sum_map, cms, refine_frames[0], k0=k_before,
             frame_masks=refine_frames[1], carry_stack=carry_stack,
             probe_steps=dof_probe_steps, points_per_link=dof_probe_points,
+            share_normalize=ladder_share_norm,
             verbose=verbose,
         )
         if len(probe_groups) != k_before:

@@ -367,6 +367,29 @@ class TestLadderSelect:
         k, _ = self._run(curve, 4)
         assert k == 6
 
+    def test_share_norm_rescues_small_link_splits(self):
+        """Measured pxs seed-2025 curve: the last three leg segments buy
+        only 3-7% global chamfer each (small distal links), so the raw
+        rule under-splits to 16; normalized by the split region's ~8%
+        point share the k=17..19 drops are plainly significant while the
+        >=20 noise drops stay insignificant."""
+        curve = {15: 0.02448, 16: 0.02165, 17: 0.02095, 18: 0.02036,
+                 19: 0.01903, 20: 0.01903, 21: 0.01900, 22: 0.01898}
+        k_raw, _ = self._run(curve, 19)
+        assert k_raw == 16  # the measured failure, pinned
+        k_norm, _ = self._run(curve, 19, share=lambda k: 0.08)
+        assert k_norm == 19
+
+    def test_share_norm_keeps_laptop_drift_insignificant(self):
+        # the drift-normalized guard must survive share normalization:
+        # laptop's spurious splits change ~half the object (share 0.5),
+        # so normalization at most doubles the drift drops and the
+        # 2.5x-local-drift rule still rejects them
+        curve = {2: 0.08849, 3: 0.08076, 4: 0.07344, 5: 0.06798,
+                 6: 0.0634, 7: 0.0593}
+        k, _ = self._run(curve, 2, k_min=2, share=lambda k: 0.5)
+        assert k == 2
+
     def test_inf_candidates_skipped(self):
         from autourdf_tpu.structure.model_select import ladder_select
 
