@@ -163,6 +163,11 @@ def main(argv=None) -> int:
     p.add_argument("--drift-theta-deg", type=float, default=12.0)
     p.add_argument("--drift-conc", type=float, default=0.85)
     p.add_argument("--drift-spread-deg", type=float, default=45.0)
+    p.add_argument("--freeze-prune", type=float, default=0.0,
+                   help="merge joints whose share-normalized freeze-delta "
+                        "(chamfer bought by the fitted motion, per unit "
+                        "of subtree point share) is below this fraction — "
+                        "symmetry-flat / drift joints; 0 disables")
 
     p = sub.add_parser("evaluate", help="joint accuracy + resim chamfer vs gt")
     _add_common(p)
@@ -247,6 +252,7 @@ def main(argv=None) -> int:
             ladder_share_norm=args.ladder_share_norm,
             prune_deg=args.prune_deg,
             drift_prune=args.drift_prune,
+            freeze_prune=args.freeze_prune,
             drift_theta_deg=args.drift_theta_deg,
             drift_conc=args.drift_conc,
             drift_spread_deg=args.drift_spread_deg,

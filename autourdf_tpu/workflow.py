@@ -333,6 +333,7 @@ def run_build_urdf(
     dof_probe_steps: int = 60,
     dof_probe_points: int = 256,
     ladder_share_norm: bool = False,
+    freeze_prune: float = 0.0,
     prune_deg: float = 2.0,
     drift_prune: bool = False,
     drift_theta_deg: float = 12.0,
@@ -558,6 +559,30 @@ def run_build_urdf(
                               f"(range {ranges[j]:.1f}deg, "
                               f"conc {c.concentration:.3f}, "
                               f"spread {c.seq_spread_deg:.1f}deg)",
+                              flush=True)
+        if freeze_prune > 0 and fdel is not None:
+            # freeze-delta veto: a joint whose fitted motion buys less
+            # chamfer than ``freeze_prune`` of its subtree's share is a
+            # symmetry-flat / drift direction, not articulation (see
+            # joints/chain.py freeze-delta probe).  Orthogonal to the
+            # excitation/coherence drift veto — this is the only signal
+            # that separates storage's spurious panel joints from its
+            # real doors (their ranges and coherences are statistically
+            # identical).
+            for j in range(len(joints)):
+                if j in drift_static:
+                    continue
+                norm = fdel[j] / max(float(fshare[j]), 1e-6) \
+                    if fshare is not None else fdel[j]
+                if norm < freeze_prune:
+                    drift_static.append(j)
+                    if verbose:
+                        print(f"[urdf] freeze veto: joint "
+                              f"{joints[j].parent_link}->"
+                              f"{joints[j].child_link} "
+                              f"(freeze {fdel[j] * 100:.1f}%, "
+                              f"norm {norm * 100:.0f}% "
+                              f"< {freeze_prune * 100:.0f}%)",
                               flush=True)
         if prune_deg > 0 or drift_static:
             links, pruned = prune_static_joints(
