@@ -10,11 +10,13 @@ cd /root/repo
 LOG=campaign_logs
 mkdir -p "$LOG"
 
-mkdir -p data_ls data_ls25
+mkdir -p data_ls data_ls25 data_ls26
 [ -e data_ls/raw ] || ln -s ../data/raw data_ls/raw
 [ -e data_ls/part ] || ln -s ../data/part data_ls/part
 [ -e data_ls25/raw ] || ln -s ../data_seeds/s2025/raw data_ls25/raw
 [ -e data_ls25/part ] || ln -s ../data_seeds/s2025/part data_ls25/part
+[ -e data_ls26/raw ] || ln -s ../data_seeds/s2026/raw data_ls26/raw
+[ -e data_ls26/part ] || ln -s ../data_seeds/s2026/part data_ls26/part
 
 ls_run() {
   local name=$1; local robot=$2; local root=$3; shift 3
@@ -35,9 +37,11 @@ ls_run() {
   fi
 }
 
-# the two measured ladder failures
+# the measured ladder failures
 ls_run pxs_s2025_ls pxs data_ls25 --seed 2025
 ls_run franka_s2025_ls franka data_ls25 --seed 2025
+ls_run pxs_s2026_ls pxs data_ls26 --seed 2026
+ls_run franka_s2026_ls franka data_ls26 --seed 2026
 # regression guards at the canonical seed
 ls_run wx200_5_ls wx200_5 data_ls
 ls_run laptop_ls laptop data_ls
