@@ -37,4 +37,21 @@ fd storage_fd storage --dist-mode hybrid
 fd faucet_fd faucet
 fd wx200_5_fd wx200_5
 fd pxs_fd pxs
+
+# franka seed-2025 found 8 links / 7 dof (one spurious vs the canonical
+# 7/6) — rebuild in place with the diagnostics so the freeze-delta of
+# the spurious joint is on record (behavior-identical code: the probe is
+# diagnostics-only)
+name=franka_s2025_fd
+if [ ! -f "$LOG/$name.done" ]; then
+  echo "== $name: $(date -u +%H:%M:%S)"
+  {
+    time python -m autourdf_tpu.cli urdf --robot franka --unknown-dof \
+        --end-video 5 --seed 2025 --data-root data_seeds/s2025 &&
+    time python -m autourdf_tpu.cli evaluate --robot franka --seed 2025 \
+        --data-root data_seeds/s2025
+  } > "$LOG/$name.log" 2>&1 && touch "$LOG/$name.done" \
+    || echo "!! FAIL $name (see $LOG/$name.log)"
+  grep -E 'prune-diag|drift veto' "$LOG/$name.log" | tail -10
+fi
 echo "fd_probe done $(date -u +%H:%M:%S)"
