@@ -342,12 +342,25 @@ def refine_chain(
         link_pts[i, : len(local)] = local
         link_masks[i, : len(local)] = True
 
-    # init params from the screw estimates, in parent-link frames
+    # init params from the screw estimates, in parent-link frames.  The
+    # screw estimate's global_axis/global_pos are expressed at the STEP-0
+    # configuration, so the conversion must use the STEP-0 parent frame —
+    # the local (u, o) are configuration-invariant (the parent frame is
+    # rigidly attached to the link), so they are valid for any anchor.
+    # Converting with frames0_np (taken at anchor_step) rotated the init
+    # by the parent's step-0 -> anchor motion — tens of degrees on moving
+    # parents, which the slow-lr geometry fit could not recover from and
+    # the multi-anchor average then inherited (the --chain-anchors
+    # catastrophic A/B: wx200_5 13.7 deg vs 1.77 baseline).
     J = len(joints)
     u0 = np.zeros((J, 3), np.float32)
     o0 = np.zeros((J, 3), np.float32)
     for j, joint in enumerate(joints):
-        p0 = frames0_np[id_to_pos[joint.parent_link]].astype(np.float64)
+        parent_members = sorted(
+            next(l for l in links if l.id == joint.parent_link).cluster_idx)
+        p0 = (_link_frame_np(cm, parent_members, 0).astype(np.float64)
+              if anchor_step != 0
+              else frames0_np[id_to_pos[joint.parent_link]].astype(np.float64))
         inv = np.linalg.inv(p0)
         ax = joint.global_axis / max(np.linalg.norm(joint.global_axis), 1e-12)
         u0[j] = inv[:3, :3] @ ax
@@ -570,15 +583,23 @@ def refine_chain_multi_anchor(
 
     # sign-align each anchor's axes to the anchor-0 fit before averaging
     # (the axis sign is a gauge choice; a flip would cancel instead of
-    # average).  Origins are points on the axis line — sign-free.
+    # average).  Origins are points on the axis LINE with gauge freedom
+    # along it — per-anchor fits settle at arbitrary arc-length positions,
+    # so each origin is first re-gauged to the point on its own axis
+    # closest to the anchor-0 origin before the mean (a raw point mean of
+    # different gauges can sit off every fitted line).
     u0 = np.asarray(res0.axes, np.float64)
+    o_ref = np.asarray(res0.origins, np.float64)
     us, origs = [], []
     for res in fits:
         u = np.asarray(res.axes, np.float64)
         sign = np.sign(np.sum(u * u0, axis=1, keepdims=True))
         sign[sign == 0] = 1.0
-        us.append(u * sign)
-        origs.append(np.asarray(res.origins, np.float64))
+        u = u * sign
+        o = np.asarray(res.origins, np.float64)
+        o = o + np.sum((o_ref - o) * u, axis=1, keepdims=True) * u
+        us.append(u)
+        origs.append(o)
     u_avg = np.mean(us, axis=0)
     u_avg = u_avg / np.linalg.norm(u_avg, axis=1, keepdims=True)
     o_avg = np.mean(origs, axis=0)

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from .knn import PAD_COORD as _PAD
-from .knn import Norm, nn_search, nn_search_bidirectional
+from .knn import Norm, nn_min_bidirectional, nn_search, nn_search_bidirectional
 
 
 def _pointwise(diff: jax.Array, norm: int) -> jax.Array:
@@ -126,8 +126,13 @@ def chamfer_distance(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _chamfer_cvjp(x, y, xm, ym, norm, backend):
-    loss, _ = _chamfer_cvjp_fwd(x, y, xm, ym, norm, backend)
-    return loss
+    # Primal (forward-only) path: min-only kernel — no argmin bookkeeping.
+    # Differentiated calls route through _chamfer_cvjp_fwd instead, which
+    # keeps the indexed kernel (the VJP needs the matched neighbors).
+    xs = jnp.where(xm[:, None] > 0, x, _PAD)
+    ys = jnp.where(ym[:, None] > 0, y, _PAD)
+    dx, dy = nn_min_bidirectional(xs, ys, norm, backend)
+    return _weighted_mean(dx, xm) + _weighted_mean(dy, ym)
 
 
 def _weighted_mean(vals, w):

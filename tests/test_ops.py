@@ -12,7 +12,12 @@ from autourdf_tpu.ops import (
     lloyd,
     nn_search,
 )
-from autourdf_tpu.ops.knn import PAD_COORD, _bidir_vmem_ok, nn_search_bidirectional
+from autourdf_tpu.ops.knn import (
+    PAD_COORD,
+    _bidir_vmem_ok,
+    nn_min_bidirectional,
+    nn_search_bidirectional,
+)
 
 
 def brute_nn(x, y, norm):
@@ -131,6 +136,48 @@ class TestBidirectionalNN:
         assert _bidir_vmem_ok(5000, 5000, 64)
         n_big = 100_000
         assert not any(_bidir_vmem_ok(n_big, n_big, t) for t in (256, 128, 64))
+
+
+class TestMinOnlyBidirectionalNN:
+    """The forward-only chamfer primitive (ops/knn.py::nn_min_bidirectional):
+    min distances both directions with no argmin bookkeeping — the primal
+    body of the chamfer custom-VJP dispatches here."""
+
+    @pytest.mark.parametrize("norm", [1, 2])
+    def test_matches_bruteforce(self, rng, norm):
+        x = rng.normal(size=(300, 3)).astype(np.float32)
+        y = rng.normal(size=(420, 3)).astype(np.float32)
+        dx, dy = nn_min_bidirectional(
+            jnp.asarray(x), jnp.asarray(y), norm=norm, backend="pallas_interpret"
+        )
+        np.testing.assert_allclose(np.asarray(dx), brute_nn(x, y, norm)[0],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dy), brute_nn(y, x, norm)[0],
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_multi_tile_accumulator(self, rng):
+        # > 1 x-tile with non-multiple sizes: exercises the revisited
+        # (1, M) column-min accumulator across sequential grid steps
+        x = rng.normal(size=(517, 3)).astype(np.float32)
+        y = rng.normal(size=(333, 3)).astype(np.float32)
+        from autourdf_tpu.ops.knn import _nn_min_bidir_pallas
+
+        dx, dy = _nn_min_bidir_pallas(jnp.asarray(x), jnp.asarray(y), 1, 64, True)
+        np.testing.assert_allclose(np.asarray(dx), brute_nn(x, y, 1)[0],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dy), brute_nn(y, x, 1)[0],
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_forward_value_equals_grad_path_value(self, rng):
+        # the custom-VJP primal (min-only kernel) and fwd rule (indexed
+        # kernel) must agree on the loss value exactly
+        x = jnp.asarray(rng.normal(size=(150, 3)).astype(np.float32))
+        y = jnp.asarray(rng.normal(size=(170, 3)).astype(np.float32))
+        fwd_only = chamfer_distance(x, y, backend="pallas_interpret")
+        with_grad, _ = jax.value_and_grad(
+            lambda a: chamfer_distance(a, y, backend="pallas_interpret"))(x)
+        np.testing.assert_allclose(np.asarray(fwd_only), np.asarray(with_grad),
+                                   rtol=1e-6)
 
     def test_two_pass_fallback_dispatch(self, rng, monkeypatch):
         # force the budget check to fail so the two-pass fallback branch of
