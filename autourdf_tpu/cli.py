@@ -124,10 +124,14 @@ def main(argv=None) -> int:
                         "only (completes occluded surface; see "
                         "joints/chain.py)")
     p.add_argument("--chain-anchors", type=int, default=1,
-                   help="average the chain fit over this many canonical "
-                        "anchor steps (different pose => different "
-                        "occlusion bias; the average cancels it) — costs "
-                        "one full chain fit per anchor")
+                   help="EXPERIMENTAL: average the chain fit over this "
+                        "many canonical anchor steps (different pose => "
+                        "different occlusion bias; the average cancels "
+                        "it) — costs one full chain fit per anchor.  The "
+                        "round-4 build carried an anchor-frame init bug "
+                        "(7x worse on the flagships, see RESULTS.md "
+                        "negative results); fixed in round 5, A/B in "
+                        "flight — keep default 1 unless measuring")
     p.add_argument("--chain-balance", action="store_true",
                    help="per-link balanced forward Chamfer in the chain "
                         "refinement (equal gradient weight per link); "
@@ -163,11 +167,14 @@ def main(argv=None) -> int:
     p.add_argument("--drift-theta-deg", type=float, default=12.0)
     p.add_argument("--drift-conc", type=float, default=0.85)
     p.add_argument("--drift-spread-deg", type=float, default=45.0)
-    p.add_argument("--freeze-prune", type=float, default=0.0,
+    p.add_argument("--freeze-prune", type=float, default=0.25,
                    help="merge joints whose share-normalized freeze-delta "
                         "(chamfer bought by the fitted motion, per unit "
                         "of subtree point share) is below this fraction — "
-                        "symmetry-flat / drift joints; 0 disables")
+                        "symmetry-flat / drift joints; 0 disables.  The "
+                        "default 0.25 is calibrated on the round-4 fd-probe "
+                        "logs: spurious joints read 2-16%, real joints "
+                        ">= 55% (see workflow.py)")
 
     p = sub.add_parser("evaluate", help="joint accuracy + resim chamfer vs gt")
     _add_common(p)

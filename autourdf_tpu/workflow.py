@@ -333,7 +333,7 @@ def run_build_urdf(
     dof_probe_steps: int = 60,
     dof_probe_points: int = 256,
     ladder_share_norm: bool = False,
-    freeze_prune: float = 0.0,
+    freeze_prune: float = 0.25,
     prune_deg: float = 2.0,
     drift_prune: bool = False,
     drift_theta_deg: float = 12.0,
@@ -503,108 +503,121 @@ def run_build_urdf(
 
     if refine == "chain" and joints:
         from .joints.chain import prune_static_joints, refine_chain_multi_anchor
+        from .joints.screw import joint_screw_coherence
 
         if refine_frames is None:
             refine_frames = _load_refine_frames(cfg, end_video)
         frames, fmasks = refine_frames
-        joints, chain_res = refine_chain_multi_anchor(
-            links, joints, cms, frames, anchors=chain_anchors,
-            steps=refine_steps,
-            points_per_link=1024, frame_masks=fmasks,
-            balance=chain_balance, canonical_frames=canonical_frames,
-            verbose=verbose,
-        )
-        # per-joint articulation diagnostics: fitted theta range from the
-        # chain fit + screw-sample axis coherence from the registration
-        # (joints/screw.py) — real joints are excited tens of degrees with
-        # coherent axes, drift-born joints absorb a few degrees with
-        # scattered axes.  The drift veto combines both: a joint BOTH
-        # weakly excited and axis-incoherent is registration drift, not
-        # articulation (real weakly-OBSERVABLE joints like the wx200
-        # wrist-rotate have noisy screw inits but large fitted ranges;
-        # real weakly-EXCITED joints have coherent axes).
-        from .joints.screw import joint_screw_coherence
-
-        th = np.asarray(chain_res.thetas)
-        ranges = np.degrees((th.max(axis=1) - th.min(axis=1)).max(axis=0))
-        coh = joint_screw_coherence(
-            links, cms, 0, cfg.end_steps - cfg.start_steps, interval=4)
-        fdel = chain_res.freeze_deltas
-        fshare = chain_res.subtree_share
-        if verbose:
-            for j, (joint, c) in enumerate(zip(joints, coh)):
-                fd = ""
-                if fdel is not None:
-                    fd = f" freeze {fdel[j] * 100:.1f}%"
-                    if fshare is not None and fshare[j] > 0:
-                        # share-normalized: delta per unit of movable mass
-                        fd += f" (norm {fdel[j] / fshare[j] * 100:.0f}%)"
-                print(f"[prune-diag] joint {joint.parent_link}->"
-                      f"{joint.child_link}: theta_range {ranges[j]:.1f}deg "
-                      f"conc {c.concentration:.3f} "
-                      f"spread {c.seq_spread_deg:.1f}deg "
-                      f"total {c.total_angle_deg:.0f}deg{fd}", flush=True)
-        drift_static: list[int] = []
-        if drift_prune:
-            for j, c in enumerate(coh):
-                incoherent = (c.concentration < drift_conc
-                              or (np.isfinite(c.seq_spread_deg)
-                                  and c.seq_spread_deg > drift_spread_deg))
-                if ranges[j] < drift_theta_deg and incoherent:
-                    drift_static.append(j)
-                    if verbose:
-                        print(f"[urdf] drift veto: joint "
-                              f"{joints[j].parent_link}->"
-                              f"{joints[j].child_link} "
-                              f"(range {ranges[j]:.1f}deg, "
-                              f"conc {c.concentration:.3f}, "
-                              f"spread {c.seq_spread_deg:.1f}deg)",
-                              flush=True)
-        if freeze_prune > 0 and fdel is not None:
-            # freeze-delta veto: a joint whose fitted motion buys less
-            # chamfer than ``freeze_prune`` of its subtree's share is a
-            # symmetry-flat / drift direction, not articulation (see
-            # joints/chain.py freeze-delta probe).  Orthogonal to the
-            # excitation/coherence drift veto — this is the only signal
-            # that separates storage's spurious panel joints from its
-            # real doors (their ranges and coherences are statistically
-            # identical).
-            for j in range(len(joints)):
-                if j in drift_static:
-                    continue
-                norm = fdel[j] / max(float(fshare[j]), 1e-6) \
-                    if fshare is not None else fdel[j]
-                if norm < freeze_prune:
-                    drift_static.append(j)
-                    if verbose:
-                        print(f"[urdf] freeze veto: joint "
-                              f"{joints[j].parent_link}->"
-                              f"{joints[j].child_link} "
-                              f"(freeze {fdel[j] * 100:.1f}%, "
-                              f"norm {norm * 100:.0f}% "
-                              f"< {freeze_prune * 100:.0f}%)",
-                              flush=True)
-        if prune_deg > 0 or drift_static:
-            links, pruned = prune_static_joints(
-                links, joints, np.asarray(chain_res.thetas),
-                threshold=np.radians(prune_deg) if prune_deg > 0 else 0.0,
-                extra_static=drift_static)
-            if pruned:
-                # membership changed -> link frames changed; redo the
-                # estimate + fit on the merged structure
-                dof = len(links) - 1
-                if verbose:
-                    print(f"[urdf] pruned static joint(s): links={len(links)} "
-                          f"dof={dof}")
-                joints = estimate_joints_from_tree(
-                    links, cms, 0, cfg.end_steps - cfg.start_steps, interval=4)
-                joints, _ = refine_chain_multi_anchor(
-                    links, joints, cms, frames, anchors=chain_anchors,
-                    steps=refine_steps,
-                    points_per_link=1024, frame_masks=fmasks,
-                    balance=chain_balance, canonical_frames=canonical_frames,
-                    verbose=verbose,
-                )
+        # fit -> veto -> prune -> REFIT loop.  Merging a vetoed joint
+        # changes the structure, and the next pass re-fits and RE-PROBES
+        # the merged structure — the freeze-delta of a remaining joint can
+        # only drop below threshold once a neighboring spurious joint's
+        # drift absorption is gone, so a single-pass veto misses the
+        # cascade (storage kept its second panel joint).  Bounded: every
+        # pass past the first must have pruned at least one joint, so the
+        # loop runs <= n_joints passes; clean discoveries exit after one
+        # fit (the old cost plus the J-forward-eval freeze probe).
+        for _veto_pass in range(8):
+            joints, chain_res = refine_chain_multi_anchor(
+                links, joints, cms, frames, anchors=chain_anchors,
+                steps=refine_steps,
+                points_per_link=1024, frame_masks=fmasks,
+                balance=chain_balance, canonical_frames=canonical_frames,
+                verbose=verbose,
+            )
+            # per-joint articulation diagnostics: fitted theta range from
+            # the chain fit + screw-sample axis coherence from the
+            # registration (joints/screw.py) — real joints are excited
+            # tens of degrees with coherent axes, drift-born joints absorb
+            # a few degrees with scattered axes.  The drift veto combines
+            # both: a joint BOTH weakly excited and axis-incoherent is
+            # registration drift, not articulation (real weakly-OBSERVABLE
+            # joints like the wx200 wrist-rotate have noisy screw inits
+            # but large fitted ranges; real weakly-EXCITED joints have
+            # coherent axes).
+            th = np.asarray(chain_res.thetas)
+            ranges = np.degrees((th.max(axis=1) - th.min(axis=1)).max(axis=0))
+            coh = joint_screw_coherence(
+                links, cms, 0, cfg.end_steps - cfg.start_steps, interval=4)
+            fdel = chain_res.freeze_deltas
+            fshare = chain_res.subtree_share
+            if verbose:
+                for j, (joint, c) in enumerate(zip(joints, coh)):
+                    fd = ""
+                    if fdel is not None:
+                        fd = f" freeze {fdel[j] * 100:.1f}%"
+                        if fshare is not None and fshare[j] > 0:
+                            # share-normalized: delta per unit movable mass
+                            fd += f" (norm {fdel[j] / fshare[j] * 100:.0f}%)"
+                    print(f"[prune-diag] joint {joint.parent_link}->"
+                          f"{joint.child_link}: theta_range {ranges[j]:.1f}deg "
+                          f"conc {c.concentration:.3f} "
+                          f"spread {c.seq_spread_deg:.1f}deg "
+                          f"total {c.total_angle_deg:.0f}deg{fd}", flush=True)
+            drift_static: list[int] = []
+            if drift_prune:
+                for j, c in enumerate(coh):
+                    incoherent = (c.concentration < drift_conc
+                                  or (np.isfinite(c.seq_spread_deg)
+                                      and c.seq_spread_deg > drift_spread_deg))
+                    if ranges[j] < drift_theta_deg and incoherent:
+                        drift_static.append(j)
+                        if verbose:
+                            print(f"[urdf] drift veto: joint "
+                                  f"{joints[j].parent_link}->"
+                                  f"{joints[j].child_link} "
+                                  f"(range {ranges[j]:.1f}deg, "
+                                  f"conc {c.concentration:.3f}, "
+                                  f"spread {c.seq_spread_deg:.1f}deg)",
+                                  flush=True)
+            if freeze_prune > 0 and fdel is not None:
+                # freeze-delta veto (DEFAULT; calibrated round 5): a joint
+                # whose fitted motion buys less chamfer than
+                # ``freeze_prune`` of its subtree's point share is a
+                # symmetry-flat / drift direction, not articulation (see
+                # joints/chain.py freeze-delta probe).  Orthogonal to the
+                # excitation/coherence drift veto — this is the only
+                # signal that separates storage's spurious panel joints
+                # from its real doors (their ranges and coherences are
+                # statistically identical).  Calibration over the round-4
+                # fd-probe logs (campaign_logs/*_fd.log): spurious joints
+                # read 2-16% normalized (faucet 16, storage 13, trashcan
+                # 2/13), real joints >= 55% (wx200_5 gripper 55; every
+                # other logged real joint >= 107) — threshold 0.25 sits at
+                # the geometric midpoint of the gap.
+                for j in range(len(joints)):
+                    if j in drift_static:
+                        continue
+                    norm = fdel[j] / max(float(fshare[j]), 1e-6) \
+                        if fshare is not None else fdel[j]
+                    if norm < freeze_prune:
+                        drift_static.append(j)
+                        if verbose:
+                            print(f"[urdf] freeze veto: joint "
+                                  f"{joints[j].parent_link}->"
+                                  f"{joints[j].child_link} "
+                                  f"(freeze {fdel[j] * 100:.1f}%, "
+                                  f"norm {norm * 100:.0f}% "
+                                  f"< {freeze_prune * 100:.0f}%)",
+                                  flush=True)
+            pruned = False
+            if prune_deg > 0 or drift_static:
+                links, pruned = prune_static_joints(
+                    links, joints, np.asarray(chain_res.thetas),
+                    threshold=np.radians(prune_deg) if prune_deg > 0 else 0.0,
+                    extra_static=drift_static)
+            if not pruned:
+                break
+            # membership changed -> link frames changed; redo the
+            # estimate, then loop back for the refit + re-probe
+            dof = len(links) - 1
+            if verbose:
+                print(f"[urdf] pruned static joint(s): links={len(links)} "
+                      f"dof={dof}")
+            joints = estimate_joints_from_tree(
+                links, cms, 0, cfg.end_steps - cfg.start_steps, interval=4)
+            if not joints:
+                break
 
     # link artifacts + meshes from the first sequence only (reference :726).
     # Order by link id: the URDF writer references {id:04}.stl, while the
