@@ -229,12 +229,25 @@ def ladder_select(
             break
         lo -= 1
     # upward: look past flats until `lookahead` consecutive insignificant
-    # marginal drops (raw eps here; the walk only shapes the window)
+    # marginal drops.  The walk judges raw eps, and — when share
+    # normalization is on — ALSO counts a step as progress when its
+    # share-normalized drop reaches the >=35% under-split band: a true
+    # split of a small distal link reads 3-7% raw (invisible to the raw
+    # criterion, so the window would stop `lookahead` short of it — the
+    # exact under-split regime the flag targets) but 60-140% normalized.
+    # The 0.35 floor (not eps) keeps the walk bounded: over-split drift
+    # normalizes to 16-30% on small shares, below the band, so drift
+    # cannot keep the walk alive to k_max.
     hi, flats = k0, 0
     while hi < k_max and flats < lookahead:
         nxt = ev(hi + 1)
         cur = ev(hi)
-        if np.isfinite(cur) and np.isfinite(nxt) and cur >= (1.0 + eps) * nxt:
+        progress = (np.isfinite(cur) and np.isfinite(nxt)
+                    and cur >= (1.0 + eps) * nxt)
+        if (not progress and share is not None and np.isfinite(cur)
+                and np.isfinite(nxt) and nxt > 0):
+            progress = (cur / nxt - 1.0) / share(hi + 1) >= 0.35
+        if progress:
             flats = 0
         else:
             flats += 1
