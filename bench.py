@@ -21,11 +21,11 @@ chip: bench_reference_shape.py reproduces the reference's exact execution
 shape (one program dispatch per epoch, host value-fetch per epoch, CPU
 sklearn k-means round trip per frame) with this repo's own kernels and
 measures 0.0345 frames/s (29.0 s/pair, 2026-08-16, v5e behind the axon
-tunnel).  Per the round-3 verdict, the MEASURED anchor is the headline
-denominator (``vs_baseline``) — it is the only number actually clocked on
-real hardware; the derived 0.083 CUDA estimate is reported alongside in
-the detail block as the conservative secondary figure
-(``vs_derived_cuda_estimate``).
+tunnel).  Per the round-4 verdict, the headline ``vs_baseline`` stays
+pinned to the CONSERVATIVE derived CUDA denominator (0.083 frames/s) so
+round-over-round comparisons are apples-to-apples; the same-chip measured
+anchor is reported alongside in the detail block
+(``vs_measured_reference_shape``).
 """
 
 from __future__ import annotations
@@ -35,11 +35,12 @@ import os
 import sys
 import time
 
-# Derived reference CUDA estimate (conservative secondary), see docstring.
+# Derived reference CUDA estimate — the conservative headline denominator
+# (``vs_baseline``), pinned per the round-4 verdict.  See docstring.
 DERIVED_CUDA_FRAMES_PER_SEC = 0.083
 # Same-chip MEASURED anchor (bench_reference_shape.py, 2026-08-16): the
 # reference's per-epoch-sync execution shape with this repo's kernels.
-# This is the headline baseline denominator (the only measured one).
+# Reported in the detail block.
 MEASURED_REFERENCE_SHAPE_FPS = 0.0345
 # Kernel detail at the production 5000^2 size, marginal-timed the same day:
 KERNEL_DETAIL = {
@@ -134,18 +135,18 @@ def main() -> None:
                 "metric": "wx200 50-frame registration throughput (1 chip)",
                 "value": round(fps, 3),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / MEASURED_REFERENCE_SHAPE_FPS, 2),
+                "vs_baseline": round(fps / DERIVED_CUDA_FRAMES_PER_SEC, 2),
                 "detail": {
                     "seconds_for_45_frame_pairs": round(elapsed, 2),
                     "mean_chamfer_loss": round(mean_loss, 5),
                     "backend": jax.default_backend(),
-                    "baseline_fps_measured_reference_shape": (
-                        MEASURED_REFERENCE_SHAPE_FPS
+                    "baseline_fps_derived_cuda_estimate": (
+                        DERIVED_CUDA_FRAMES_PER_SEC
                     ),
-                    "vs_derived_cuda_estimate": round(
-                        fps / DERIVED_CUDA_FRAMES_PER_SEC, 2
+                    "vs_measured_reference_shape": round(
+                        fps / MEASURED_REFERENCE_SHAPE_FPS, 2
                     ),
-                    "derived_cuda_estimate_fps": DERIVED_CUDA_FRAMES_PER_SEC,
+                    "measured_reference_shape_fps": MEASURED_REFERENCE_SHAPE_FPS,
                     "kernels_5000sq": KERNEL_DETAIL,
                 },
             }
