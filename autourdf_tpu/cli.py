@@ -132,6 +132,12 @@ def main(argv=None) -> int:
                         "(7x worse on the flagships, see RESULTS.md "
                         "negative results); fixed in round 5, A/B in "
                         "flight — keep default 1 unless measuring")
+    p.add_argument("--chain-trunc", type=float, default=0.0,
+                   help="EXPERIMENTAL: truncated robust chain-fit Chamfer — "
+                        "clip per-point matched distances at this multiple "
+                        "of the per-direction median before the mean "
+                        "(zeroes the gradient pull of occlusion-unexplained "
+                        "surface; 0 disables)")
     p.add_argument("--chain-balance", action="store_true",
                    help="per-link balanced forward Chamfer in the chain "
                         "refinement (equal gradient weight per link); "
@@ -260,6 +266,7 @@ def main(argv=None) -> int:
             prune_deg=args.prune_deg,
             drift_prune=args.drift_prune,
             freeze_prune=args.freeze_prune,
+            chain_trunc=args.chain_trunc,
             drift_theta_deg=args.drift_theta_deg,
             drift_conc=args.drift_conc,
             drift_spread_deg=args.drift_spread_deg,

@@ -32,7 +32,7 @@ import numpy as np
 
 from ..core import rotations as R
 from ..core import se3
-from ..ops.chamfer import chamfer_distance
+from ..ops.chamfer import chamfer_distance, chamfer_distance_trunc
 from ..ops.icp import icp_point_to_point
 from .screw import JointEstimate
 
@@ -146,13 +146,21 @@ def chain_world_transforms(spec: ChainSpec, frames0: jax.Array,
     return jnp.stack(world)
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
+@functools.partial(jax.jit, static_argnames=("spec", "trunc"))
 def _theta_loss(spec: ChainSpec, frames0, link_pts, link_masks,
-                u, o, theta, frames, frame_masks):
+                u, o, theta, frames, frame_masks, trunc: float = 0.0):
     """Mean chamfer over all sequences/steps for explicit (u, o, theta).
 
     Core of :func:`_chain_loss` without the unit-normalization and
-    anchor pinning; also drives the post-fit freeze-delta probe.
+    anchor pinning; also drives the post-fit freeze-delta probe (which
+    always evaluates UNtruncated — the probe measures explanatory power,
+    and its 0.25 veto threshold was calibrated on plain chamfer).
+
+    ``trunc`` > 0 switches the per-step loss to the truncated robust
+    Chamfer (ops.chamfer.chamfer_distance_trunc with tau = trunc x the
+    median matched distance): occlusion-unexplained surface matches at
+    cm-scale distances and pulls weakly-constrained axes persistently;
+    the clip zeroes exactly those gradients.
     """
     L, P = link_pts.shape[:2]
     flat_mask = link_masks.reshape(L * P)
@@ -160,6 +168,11 @@ def _theta_loss(spec: ChainSpec, frames0, link_pts, link_masks,
     def one_step(th, frame, fmask):
         world = chain_world_transforms(spec, frames0, u, o, th)  # (L,4,4)
         posed = se3.transform_points(world, link_pts)  # (L,P,3)
+        if trunc > 0:
+            return chamfer_distance_trunc(
+                posed.reshape(L * P, 3), frame, flat_mask, fmask,
+                norm=1, mult=trunc,
+            )
         return chamfer_distance(
             posed.reshape(L * P, 3), frame, flat_mask, fmask, norm=1
         )
@@ -170,9 +183,10 @@ def _theta_loss(spec: ChainSpec, frames0, link_pts, link_masks,
     return jnp.mean(jax.vmap(one_seq)(theta, frames, frame_masks))
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "anchor_step"))
+@functools.partial(jax.jit, static_argnames=("spec", "anchor_step", "trunc"))
 def _chain_loss(spec: ChainSpec, frames0, link_pts, link_masks,
-                params, frames, frame_masks, anchor_step: int = 0):
+                params, frames, frame_masks, anchor_step: int = 0,
+                trunc: float = 0.0):
     """Mean chamfer over all sequences and steps."""
     u = params["u"]
     u = u / jnp.sqrt(jnp.maximum(jnp.sum(u * u, -1, keepdims=True), 1e-18))
@@ -187,15 +201,16 @@ def _chain_loss(spec: ChainSpec, frames0, link_pts, link_masks,
         theta = params["theta"].at[0, anchor_step, :].set(0.0)
 
     return _theta_loss(spec, frames0, link_pts, link_masks,
-                       u, o, theta, frames, frame_masks)
+                       u, o, theta, frames, frame_masks, trunc=trunc)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("spec", "num_steps", "lr", "total_steps",
-                                    "anchor_step"))
+                                    "anchor_step", "trunc"))
 def _chain_fit_chunk(spec: ChainSpec, frames0, link_pts, link_masks,
                      frames, frame_masks, carry, num_steps: int, lr: float,
-                     total_steps: int, anchor_step: int = 0):
+                     total_steps: int, anchor_step: int = 0,
+                     trunc: float = 0.0):
     params, mu, nu, i, ema, path = carry
 
     # geometry parameters move much slower than angles: the angles carry
@@ -219,7 +234,8 @@ def _chain_fit_chunk(spec: ChainSpec, frames0, link_pts, link_masks,
         p, mu, nu, i, ema, path = c
         loss, g = jax.value_and_grad(
             lambda pp: _chain_loss(spec, frames0, link_pts, link_masks,
-                                   pp, frames, frame_masks, anchor_step)
+                                   pp, frames, frame_masks, anchor_step,
+                                   trunc)
         )(p)
         i = i + 1
         mu = jax.tree.map(lambda m, gr: 0.9 * m + 0.1 * gr, mu, g)
@@ -258,6 +274,7 @@ def refine_chain(
     canonical_frames: int = 1,
     anchor_step: int = 0,
     freeze_probe: bool = True,
+    trunc: float = 0.0,
     verbose: bool = False,
 ) -> tuple[list[JointEstimate], ChainResult]:
     """Jointly refine every joint against the raw frames of all sequences.
@@ -438,7 +455,7 @@ def refine_chain(
         n = min(dispatch_steps, remaining)
         carry, loss = _chain_fit_chunk(
             spec, f0, lp, lm, frames_j, fmasks, carry, n, lr,
-            total_steps=steps, anchor_step=anchor_step,
+            total_steps=steps, anchor_step=anchor_step, trunc=trunc,
         )
         remaining -= n
         done = steps - remaining

@@ -326,6 +326,7 @@ def run_build_urdf(
     chain_balance: bool = False,
     canonical_frames: int = 1,
     chain_anchors: int = 1,
+    chain_trunc: float = 0.0,
     tree: str = "motion",
     reassign: bool = True,
     dof_guard: bool = True,
@@ -523,6 +524,7 @@ def run_build_urdf(
                 steps=refine_steps,
                 points_per_link=1024, frame_masks=fmasks,
                 balance=chain_balance, canonical_frames=canonical_frames,
+                trunc=chain_trunc,
                 verbose=verbose,
             )
             # per-joint articulation diagnostics: fitted theta range from

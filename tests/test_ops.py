@@ -498,3 +498,59 @@ class TestFPS:
         mask = np.arange(100) >= 30  # first 30 invalid
         idx = np.asarray(farthest_point_sample(jnp.asarray(pts), 20, jnp.asarray(mask)))
         assert np.all(idx >= 30)
+
+
+class TestTruncatedChamfer:
+    """Robust chain-fit loss (ops/chamfer.py::chamfer_distance_trunc):
+    per-point matched distances clipped at mult x the per-direction
+    median — the occlusion-bias attack (zero gradient beyond tau)."""
+
+    def test_huge_mult_equals_plain(self, rng):
+        from autourdf_tpu.ops.chamfer import chamfer_distance_trunc
+
+        x = jnp.asarray(rng.normal(size=(200, 3)).astype(np.float32))
+        y = jnp.asarray(rng.normal(size=(240, 3)).astype(np.float32))
+        plain = chamfer_distance(x, y, backend="xla")
+        trunc = chamfer_distance_trunc(x, y, mult=1e6, backend="xla")
+        np.testing.assert_allclose(np.asarray(trunc), np.asarray(plain),
+                                   rtol=1e-6)
+
+    def test_outlier_gradient_zeroed(self, rng):
+        from autourdf_tpu.ops.chamfer import chamfer_distance_trunc
+
+        # tight cluster + one far outlier in x: with a small mult the
+        # outlier's per-point distance saturates, so its gradient is 0
+        # while inlier gradients match the plain loss direction
+        base = rng.normal(size=(100, 3)).astype(np.float32) * 0.01
+        x = np.concatenate([base + 0.001, [[5.0, 5.0, 5.0]]]).astype(np.float32)
+        y = jnp.asarray(base)
+        gt = jax.grad(lambda a: chamfer_distance_trunc(
+            a, y, mult=3.0, backend="xla"))(jnp.asarray(x))
+        gp = jax.grad(lambda a: chamfer_distance(a, y, backend="xla"))(
+            jnp.asarray(x))
+        assert float(jnp.linalg.norm(gt[-1])) == 0.0
+        assert float(jnp.linalg.norm(gp[-1])) > 0.0
+        # inliers keep a nonzero, same-signed gradient field
+        inner_dot = float(jnp.sum(gt[:-1] * gp[:-1]))
+        assert inner_dot > 0.0
+
+    def test_truncated_value_below_plain(self, rng):
+        from autourdf_tpu.ops.chamfer import chamfer_distance_trunc
+
+        base = rng.normal(size=(128, 3)).astype(np.float32)
+        x = np.concatenate([base, [[3.0, 3.0, 3.0]]]).astype(np.float32)
+        y = jnp.asarray(base)
+        plain = float(chamfer_distance(jnp.asarray(x), y, backend="xla"))
+        trunc = float(chamfer_distance_trunc(jnp.asarray(x), y, mult=3.0,
+                                             backend="xla"))
+        assert trunc < plain
+
+    def test_masked_quantile(self, rng):
+        from autourdf_tpu.ops.chamfer import _masked_quantile
+
+        vals = jnp.asarray(np.arange(10, dtype=np.float32))
+        mask = jnp.asarray((np.arange(10) < 5).astype(np.float32))
+        med = float(_masked_quantile(vals, mask, 0.5))
+        assert med == 2.0  # median of 0..4
+        full = float(_masked_quantile(vals, None, 0.5))
+        assert full == 4.0  # nearest-rank median of 0..9
