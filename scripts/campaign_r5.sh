@@ -109,6 +109,28 @@ batch_20k() {  # task 4: data-limited rows (registrations already on disk)
   run op3_10k_r5 all --robot op3 --num-points 10000
 }
 
+batch_trunc() {  # task 5: truncated robust chain loss A/B on the flagship
+  mkdir -p data_tr
+  [ -e data_tr/raw ] || ln -s ../data/raw data_tr/raw
+  [ -e data_tr/part ] || ln -s ../data/part data_tr/part
+  for m in 3 5; do
+    local name="wx200_5_tr${m}_r5"
+    if [ -f "$LOG/$name.done" ]; then echo "== skip $name (done)"; continue; fi
+    echo "== $name: $(date -u +%H:%M:%S)"
+    {
+      time python -m autourdf_tpu.cli urdf --robot wx200_5 --unknown-dof \
+          --end-video 5 --chain-trunc "$m" --data-root data_tr &&
+      time python -m autourdf_tpu.cli evaluate --robot wx200_5 --data-root data_tr
+    } > "$LOG/$name.log" 2>&1
+    if [ $? = 0 ]; then
+      touch "$LOG/$name.done"
+      grep -E 'dir err|dir_mean' "$LOG/$name.log" | tail -1
+    else
+      echo "!! FAIL $name (see $LOG/$name.log)"
+    fi
+  done
+}
+
 batch_seeds() {  # task 6: finish the 3-seed table
   for s in 2025 2026; do
     for r in solo8 faucet trashcan; do
@@ -130,7 +152,8 @@ case "${1:-all}" in
   family) batch_family;;
   ladder) batch_ladder;;
   k20) batch_20k;;
+  trunc) batch_trunc;;
   seeds) batch_seeds;;
-  all) batch_sapien; batch_anchors; batch_family; batch_ladder; batch_20k; batch_seeds;;
+  all) batch_sapien; batch_anchors; batch_family; batch_ladder; batch_20k; batch_trunc; batch_seeds;;
 esac
 echo "campaign_r5 done $(date -u +%H:%M:%S)"
