@@ -81,6 +81,13 @@ batch_anchors() {  # task 3/5: the FIXED multi-anchor A/B, isolated root
 }
 
 batch_family() {  # task: refresh every main-table row under the new defaults
+  # Wait (bounded) for the ladder_ab share-norm regression guards first:
+  # if they pass, --ladder-share-norm becomes the default BEFORE the
+  # family refresh, so the refresh is the family-wide regression test.
+  local waited=0
+  while [ ! -f "$LOG/storage_ls.done" ] && [ $waited -lt 150 ]; do
+    sleep 60; waited=$((waited + 1))
+  done
   for r in wx200_5 ur5 franka laptop toilet dishwasher bolt solo8 wx200_4 pxs; do
     rebuild "${r}_r5" "$r"
   done
@@ -88,18 +95,18 @@ batch_family() {  # task: refresh every main-table row under the new defaults
 }
 
 batch_ladder() {  # task 2: share-norm ladder on the failing seeds
+  # (pxs s2025/s2026 + canonical-root guards covered by the round-4
+  # ladder_ab.sh queue, which ran to completion — see campaign_logs/
+  # {pxs_s2025_ls,pxs_s2026_ls,franka_s2025_ls,franka_s2026_ls,
+  #  wx200_5_ls,laptop_ls,trashcan_ls,storage_ls}.log.)
   mkdir -p data_ls25 data_ls26
   [ -e data_ls25/raw ] || ln -s ../data_seeds/s2025/raw data_ls25/raw
   [ -e data_ls25/part ] || ln -s ../data_seeds/s2025/part data_ls25/part
   [ -e data_ls26/raw ] || ln -s ../data_seeds/s2026/raw data_ls26/raw
   [ -e data_ls26/part ] || ln -s ../data_seeds/s2026/part data_ls26/part
-  rebuild pxs_s2025_ls_r5 pxs --seed 2025 --data-root data_ls25 -- --ladder-share-norm
-  rebuild pxs_s2026_ls_r5 pxs --seed 2026 --data-root data_ls26 -- --ladder-share-norm
+  # freeze-veto-default franka rebuilds on the over-splitting seeds
   rebuild franka_s2025_r5 franka --seed 2025 --data-root data_ls25
   rebuild franka_s2026_r5 franka --seed 2026 --data-root data_ls26
-  # regression guards on the canonical root with share-norm on
-  rebuild pxs_ls_r5 pxs -- --ladder-share-norm
-  rebuild wx200_5_ls_r5 wx200_5 -- --ladder-share-norm
 }
 
 batch_20k() {  # task 4: data-limited rows (registrations already on disk)
