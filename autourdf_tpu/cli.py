@@ -69,38 +69,10 @@ def _cfg(args) -> PipelineConfig:
     )
 
 
-def main(argv=None) -> int:
-    parser = argparse.ArgumentParser(prog="autourdf-tpu")
-    sub = parser.add_subparsers(dest="cmd", required=True)
-
-    p = sub.add_parser("dataset", help="generate multi-view point cloud sequences")
-    _add_common(p)
-    p.add_argument("--ground", action="store_true")
-    p.add_argument("--no_noise", action="store_true")
-    p.add_argument("--epoch", type=int, default=5, help="collision-free sequences")
-    p.add_argument("--pix", type=int, default=800)
-
-    p = sub.add_parser("register", help="cluster registration over all sequences")
-    _add_common(p)
-    p.add_argument("--r", type=str, default="q", choices=["q", "rpy", "dq", "6d"])
-    p.add_argument("--epochs", type=int, default=300)
-    p.add_argument("--backend", type=str, default="auto",
-                   choices=["auto", "pallas", "xla"])
-    p.add_argument("--mlp_icp", action="store_true",
-                   help="refine each cluster with masked ICP instead of the anchor MLP")
-    p.add_argument("--normal", action="store_true",
-                   help="augment clustering features with point normals")
-    p.add_argument("--corr-every", type=int, default=1,
-                   help="refresh NN correspondences every k epochs (1 = exact "
-                        "reference semantics; 4-10 = amortized ICP-style, faster)")
-
-    p = sub.add_parser("urdf", help="structure discovery -> URDF")
-    _add_common(p)
-    p.add_argument("--unknown-dof", "--unknown_dof", action="store_true",
-                   dest="unknown_dof")
-    p.add_argument("--start-steps", type=int, default=0)
-    p.add_argument("--end-steps", dest="end_steps", type=int, default=10)
-    p.add_argument("--end-video", "--end_video", dest="end_video", type=int, default=1)
+def _add_urdf_flags(p: argparse.ArgumentParser) -> None:
+    """Structure-discovery / chain-refinement flags, shared by the
+    ``urdf`` and ``all`` subcommands (the full pipeline must run under
+    the same defaults the standalone stage documents)."""
     p.add_argument("--dist-mode", type=str, default="pose",
                    choices=["pose", "diff", "legacy", "rigid", "swap",
                             "hybrid"],
@@ -154,12 +126,16 @@ def main(argv=None) -> int:
     p.add_argument("--no-dof-probe", action="store_true",
                    help="skip the chain-fit probe ladder that arbitrates "
                         "the unknown-DoF link count against the raw clouds")
-    p.add_argument("--ladder-share-norm", action="store_true",
+    p.add_argument("--ladder-share-norm", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="judge each ladder drop against the point share "
                         "of the region the split changes (a correct split "
                         "of a small distal link can only buy a small "
                         "global chamfer drop; fixes many-small-link "
-                        "under-splits)")
+                        "under-splits).  Default ON since round 5 — the "
+                        "pxs s2025/s2026 under-splits are the measured "
+                        "failure it fixes; --no-ladder-share-norm restores "
+                        "the raw criterion")
     p.add_argument("--prune-deg", type=float, default=2.0,
                    help="after chain refinement, merge child links whose "
                         "fitted joint angle range never exceeds this many "
@@ -179,8 +155,67 @@ def main(argv=None) -> int:
                         "of subtree point share) is below this fraction — "
                         "symmetry-flat / drift joints; 0 disables.  The "
                         "default 0.25 is calibrated on the round-4 fd-probe "
-                        "logs: spurious joints read 2-16%, real joints "
-                        ">= 55% (see workflow.py)")
+                        "logs: spurious joints read 2-16%%, real joints "
+                        ">= 55%% (see workflow.py)")
+    p.add_argument("--coart-merge", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="merge sibling links whose fitted joints track ONE "
+                        "physical hinge (near-parallel near-collinear axes "
+                        "+ theta trajectories correlated ~1 — the split-"
+                        "door case no per-joint veto can see; "
+                        "joints/chain.py merge_coarticulated_siblings)")
+
+
+def _urdf_kwargs(args) -> dict:
+    return dict(
+        dist_mode=args.dist_mode, dof_method=args.dof_method,
+        refine=args.refine, refine_steps=args.refine_steps, tree=args.tree,
+        chain_balance=args.chain_balance, chain_anchors=args.chain_anchors,
+        canonical_frames=args.canonical_frames, chain_trunc=args.chain_trunc,
+        reassign=not args.no_reassign, dof_guard=not args.no_dof_guard,
+        dof_probe=not args.no_dof_probe,
+        ladder_share_norm=args.ladder_share_norm,
+        prune_deg=args.prune_deg, drift_prune=args.drift_prune,
+        freeze_prune=args.freeze_prune,
+        drift_theta_deg=args.drift_theta_deg, drift_conc=args.drift_conc,
+        drift_spread_deg=args.drift_spread_deg,
+        coart_merge=args.coart_merge,
+    )
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="autourdf-tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("dataset", help="generate multi-view point cloud sequences")
+    _add_common(p)
+    p.add_argument("--ground", action="store_true")
+    p.add_argument("--no_noise", action="store_true")
+    p.add_argument("--epoch", type=int, default=5, help="collision-free sequences")
+    p.add_argument("--pix", type=int, default=800)
+
+    p = sub.add_parser("register", help="cluster registration over all sequences")
+    _add_common(p)
+    p.add_argument("--r", type=str, default="q", choices=["q", "rpy", "dq", "6d"])
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--backend", type=str, default="auto",
+                   choices=["auto", "pallas", "xla"])
+    p.add_argument("--mlp_icp", action="store_true",
+                   help="refine each cluster with masked ICP instead of the anchor MLP")
+    p.add_argument("--normal", action="store_true",
+                   help="augment clustering features with point normals")
+    p.add_argument("--corr-every", type=int, default=1,
+                   help="refresh NN correspondences every k epochs (1 = exact "
+                        "reference semantics; 4-10 = amortized ICP-style, faster)")
+
+    p = sub.add_parser("urdf", help="structure discovery -> URDF")
+    _add_common(p)
+    p.add_argument("--unknown-dof", "--unknown_dof", action="store_true",
+                   dest="unknown_dof")
+    p.add_argument("--start-steps", type=int, default=0)
+    p.add_argument("--end-steps", dest="end_steps", type=int, default=10)
+    p.add_argument("--end-video", "--end_video", dest="end_video", type=int, default=1)
+    _add_urdf_flags(p)
 
     p = sub.add_parser("evaluate", help="joint accuracy + resim chamfer vs gt")
     _add_common(p)
@@ -211,6 +246,7 @@ def main(argv=None) -> int:
     p.add_argument("--pix", type=int, default=800)
     p.add_argument("--ground", action="store_true")
     p.add_argument("--no_noise", action="store_true")
+    _add_urdf_flags(p)
 
     args = parser.parse_args(argv)
     cfg = _cfg(args)
@@ -254,22 +290,8 @@ def main(argv=None) -> int:
     elif args.cmd == "urdf":
         cfg = cfg.replace(start_steps=args.start_steps, end_steps=args.end_steps)
         out = workflow.run_build_urdf(
-            cfg, unknown_dof=args.unknown_dof, dist_mode=args.dist_mode,
-            dof_method=args.dof_method, end_video=args.end_video,
-            refine=args.refine, refine_steps=args.refine_steps, tree=args.tree,
-            chain_balance=args.chain_balance,
-            chain_anchors=args.chain_anchors,
-            canonical_frames=args.canonical_frames,
-            reassign=not args.no_reassign, dof_guard=not args.no_dof_guard,
-            dof_probe=not args.no_dof_probe,
-            ladder_share_norm=args.ladder_share_norm,
-            prune_deg=args.prune_deg,
-            drift_prune=args.drift_prune,
-            freeze_prune=args.freeze_prune,
-            chain_trunc=args.chain_trunc,
-            drift_theta_deg=args.drift_theta_deg,
-            drift_conc=args.drift_conc,
-            drift_spread_deg=args.drift_spread_deg,
+            cfg, unknown_dof=args.unknown_dof, end_video=args.end_video,
+            **_urdf_kwargs(args),
         )
         print(json.dumps({"urdf": out["urdf_path"], "links": out["num_links"],
                           "dof": out["dof"]}))
@@ -309,7 +331,8 @@ def main(argv=None) -> int:
                              ground=args.ground, epochs=args.epoch)
         workflow.run_registration(cfg)
         out = workflow.run_build_urdf(cfg, unknown_dof=True,
-                                      end_video=args.end_video)
+                                      end_video=args.end_video,
+                                      **_urdf_kwargs(args))
         ev = workflow.run_evaluation(cfg, asset_root=args.asset_root)
         print(json.dumps({"urdf": out["urdf_path"], "dof": out["dof"],
                           "dir_err_deg": ev["dir_mean"],

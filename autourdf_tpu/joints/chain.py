@@ -655,6 +655,117 @@ def refine_chain_multi_anchor(
     return refined, result
 
 
+def merge_coarticulated_siblings(
+    links,
+    joints: list[JointEstimate],
+    thetas: np.ndarray,
+    scale: float,
+    axis_deg: float = 10.0,
+    line_frac: float = 0.12,
+    corr_min: float = 0.92,
+    min_range_deg: float = 5.0,
+    verbose: bool = False,
+) -> tuple[list, bool]:
+    """Merge sibling links that articulate as ONE body on ONE hinge (ours).
+
+    The failure this targets (storage cabinet, gt 3 links / 2 door
+    hinges): the dendrogram splits one door into two links, the tree
+    wires BOTH halves to the cabinet, and the chain fit gives each half
+    the same ~35-50 deg swing about the same physical hinge line.  Every
+    per-joint veto then reads "real articulation" — freezing either half
+    leaves half a door unexplained (freeze-delta ~200% normalized), the
+    excitation range is tens of degrees, and the screw axes are coherent
+    — because the motion IS real; only the structure is wrong.  The
+    discriminating signal is *pairwise*: two fitted joints tracking the
+    same physical hinge have (a) near-parallel axes, (b) axis LINES that
+    nearly coincide (the hinge line), and (c) per-frame theta
+    trajectories correlated ~1.  Under this dataset's excitation
+    (independent per-joint random walks, /root/reference Sim trajectory
+    contract) two DISTINCT gt joints decorrelate: over S*T ~ 50 samples
+    chance |corr| > 0.9 is vanishing, and physically parallel sibling
+    hinges (storage's two real doors) sit on opposite cabinet edges, so
+    the line-coincidence gate blocks them even before correlation.
+
+    Candidates are sibling joint pairs (same parent link) whose fitted
+    ranges BOTH exceed ``min_range_deg`` (weaker joints belong to the
+    static/drift/freeze vetoes, which run first).  ``scale`` is the
+    workload's cloud diagonal — the natural unit for the line-coincidence
+    gate.  Merging absorbs the second child into the first (union of
+    cluster memberships, grandchildren re-parented); the caller must
+    re-estimate joints and refit, exactly as after prune_static_joints.
+    """
+    J = len(joints)
+    if J < 2:
+        return links, False
+    ranges = np.degrees(
+        (thetas.max(axis=1) - thetas.min(axis=1)).max(axis=0))
+    flat = thetas.reshape(-1, J).astype(np.float64)  # (S*T, J)
+    by_parent: dict[int, list[int]] = {}
+    for j, joint in enumerate(joints):
+        by_parent.setdefault(joint.parent_link, []).append(j)
+
+    def pair_stats(j1: int, j2: int):
+        u1 = np.asarray(joints[j1].global_axis, np.float64)
+        u2 = np.asarray(joints[j2].global_axis, np.float64)
+        u1 = u1 / max(np.linalg.norm(u1), 1e-12)
+        u2 = u2 / max(np.linalg.norm(u2), 1e-12)
+        s = float(np.sign(u1 @ u2)) or 1.0
+        ang = float(np.degrees(np.arccos(np.clip(abs(u1 @ u2), -1.0, 1.0))))
+        # distance between the two (near-parallel) axis lines: component
+        # of the origin offset perpendicular to the common direction
+        d = (np.asarray(joints[j2].global_pos[:3], np.float64)
+             - np.asarray(joints[j1].global_pos[:3], np.float64))
+        line_d = float(np.linalg.norm(d - (d @ u1) * u1))
+        a = flat[:, j1] - flat[:, j1].mean()
+        b = s * (flat[:, j2] - flat[:, j2].mean())
+        denom = float(np.linalg.norm(a) * np.linalg.norm(b))
+        corr = float(a @ b) / denom if denom > 1e-12 else 0.0
+        return ang, line_d, corr
+
+    merge: tuple[int, int] | None = None
+    for sibs in by_parent.values():
+        for i1 in range(len(sibs)):
+            for i2 in range(i1 + 1, len(sibs)):
+                j1, j2 = sibs[i1], sibs[i2]
+                if ranges[j1] < min_range_deg or ranges[j2] < min_range_deg:
+                    continue
+                ang, line_d, corr = pair_stats(j1, j2)
+                fired = (ang < axis_deg and line_d < line_frac * scale
+                         and corr > corr_min)
+                if verbose:
+                    print(f"[coart] sibling joints "
+                          f"{joints[j1].parent_link}->"
+                          f"{joints[j1].child_link} / "
+                          f"->{joints[j2].child_link}: axis {ang:.1f}deg "
+                          f"line {line_d / max(scale, 1e-9) * 100:.0f}% "
+                          f"corr {corr:.2f} "
+                          f"ranges {ranges[j1]:.0f}/{ranges[j2]:.0f}deg"
+                          f"{'  -> MERGE' if fired else ''}", flush=True)
+                if fired and merge is None:
+                    merge = (j1, j2)  # one merge per pass; loop refits
+
+    if merge is None:
+        return links, False
+    j1, j2 = merge
+    keep_id, victim_id = joints[j1].child_link, joints[j2].child_link
+    by_id = {l.id: l for l in links}
+    by_id[keep_id].cluster_idx |= by_id[victim_id].cluster_idx
+    survivors = []
+    for l in links:
+        if l.id == victim_id:
+            continue
+        if l.parent_id == victim_id:
+            l.parent_id = keep_id
+        survivors.append(l)
+    renum = {l.id: i for i, l in enumerate(sorted(survivors,
+                                                  key=lambda l: l.id))}
+    for l in survivors:
+        l.id = renum[l.id]
+        if l.parent_id is not None:
+            l.parent_id = renum[l.parent_id]
+    return survivors, True
+
+
 def prune_static_joints(
     links,
     joints: list[JointEstimate],

@@ -333,13 +333,14 @@ def run_build_urdf(
     dof_probe: bool = True,
     dof_probe_steps: int = 60,
     dof_probe_points: int = 256,
-    ladder_share_norm: bool = False,
+    ladder_share_norm: bool = True,
     freeze_prune: float = 0.25,
     prune_deg: float = 2.0,
     drift_prune: bool = False,
     drift_theta_deg: float = 12.0,
     drift_conc: float = 0.85,
     drift_spread_deg: float = 45.0,
+    coart_merge: bool = True,
     verbose: bool = True,
 ) -> dict:
     """Structure discovery -> joints -> link meshes -> URDF file.
@@ -503,12 +504,19 @@ def run_build_urdf(
     )
 
     if refine == "chain" and joints:
-        from .joints.chain import prune_static_joints, refine_chain_multi_anchor
+        from .joints.chain import (merge_coarticulated_siblings,
+                                   prune_static_joints,
+                                   refine_chain_multi_anchor)
         from .joints.screw import joint_screw_coherence
 
         if refine_frames is None:
             refine_frames = _load_refine_frames(cfg, end_video)
         frames, fmasks = refine_frames
+        # workload scale for the coarticulation line-coincidence gate:
+        # diagonal of the first observed frame cloud
+        _f0 = frames[0, 0][np.asarray(fmasks[0, 0], bool)] \
+            if fmasks is not None else frames[0, 0]
+        cloud_scale = float(np.linalg.norm(_f0.max(axis=0) - _f0.min(axis=0)))
         # fit -> veto -> prune -> REFIT loop.  Merging a vetoed joint
         # changes the structure, and the next pass re-fits and RE-PROBES
         # the merged structure — the freeze-delta of a remaining joint can
@@ -608,6 +616,16 @@ def run_build_urdf(
                     links, joints, np.asarray(chain_res.thetas),
                     threshold=np.radians(prune_deg) if prune_deg > 0 else 0.0,
                     extra_static=drift_static)
+            if not pruned and coart_merge:
+                # per-joint vetoes exhausted — check the PAIRWISE signal:
+                # sibling joints tracking one physical hinge (storage's
+                # split-door case; see merge_coarticulated_siblings)
+                links, pruned = merge_coarticulated_siblings(
+                    links, joints, np.asarray(chain_res.thetas),
+                    scale=cloud_scale, verbose=verbose)
+                if pruned and verbose:
+                    print("[urdf] coarticulation merge: sibling links "
+                          "share one hinge", flush=True)
             if not pruned:
                 break
             # membership changed -> link frames changed; redo the

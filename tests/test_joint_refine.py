@@ -390,3 +390,111 @@ class TestCanonicalUnionPolish:
         tiny = [np.zeros((4, 3), np.float32), np.ones((8, 3), np.float32)]
         out = _polish_canonical_union(tiny, np.random.default_rng(0))
         assert out is tiny
+
+
+class TestCoarticulationMerge:
+    """merge_coarticulated_siblings: the split-door structure error.
+
+    Fixture geometry mirrors the storage cabinet: a static cabinet link
+    with door links hinged on vertical axes at its left/right edges
+    (scale 1.0 cloud diagonal)."""
+
+    def _mk(self, n_children=2):
+        from autourdf_tpu.structure.tree import LinkNode
+
+        links = [LinkNode(id=0, cluster_idx={0, 1}, parent_id=None)]
+        for i in range(n_children):
+            links.append(LinkNode(id=i + 1, cluster_idx={2 + i}, parent_id=0))
+        return links
+
+    def _joint(self, p, c, pos):
+        return JointEstimate(
+            parent_link=p, child_link=c, local_axis=np.array([0, 0, 1.0]),
+            local_pos=np.array([0, 0, 0, 1.0]),
+            global_pos=np.asarray(pos, np.float64),
+            global_axis=np.array([0, 0, 1.0]))
+
+    def _swing(self, S=2, T=10, seed=0):
+        rng = np.random.default_rng(seed)
+        return np.cumsum(rng.uniform(-0.2, 0.2, size=(S, T)), axis=1)
+
+    def test_split_door_merged(self):
+        """Two siblings on the SAME hinge line with identical swings (up
+        to small fit noise) collapse into one link."""
+        from autourdf_tpu.joints.chain import merge_coarticulated_siblings
+
+        links = self._mk(2)
+        joints = [self._joint(0, 1, [0.5, 0, 0]),
+                  self._joint(0, 2, [0.5, 0.02, 0])]
+        swing = self._swing()
+        thetas = np.stack([swing, swing + 0.01 * self._swing(seed=9)], axis=-1)
+        out, merged = merge_coarticulated_siblings(
+            links, joints, thetas, scale=1.0)
+        assert merged
+        assert len(out) == 2
+        assert out[1].cluster_idx == {2, 3}  # victim absorbed into sibling
+
+    def test_two_real_doors_kept(self):
+        """Parallel axes on OPPOSITE cabinet edges (distinct hinge lines,
+        independent swings) must survive."""
+        from autourdf_tpu.joints.chain import merge_coarticulated_siblings
+
+        links = self._mk(2)
+        joints = [self._joint(0, 1, [-0.5, 0, 0]),
+                  self._joint(0, 2, [0.5, 0, 0])]
+        thetas = np.stack([self._swing(seed=1), self._swing(seed=2)], axis=-1)
+        out, merged = merge_coarticulated_siblings(
+            links, joints, thetas, scale=1.0)
+        assert not merged
+        assert len(out) == 3
+
+    def test_same_line_independent_motion_kept(self):
+        """Coincident axis lines alone are not enough: independent theta
+        trajectories (chance corr << 0.92 over 20 samples) block the merge."""
+        from autourdf_tpu.joints.chain import merge_coarticulated_siblings
+
+        links = self._mk(2)
+        joints = [self._joint(0, 1, [0.5, 0, 0]),
+                  self._joint(0, 2, [0.5, 0.02, 0])]
+        thetas = np.stack([self._swing(seed=3), self._swing(seed=4)], axis=-1)
+        _, merged = merge_coarticulated_siblings(
+            links, joints, thetas, scale=1.0)
+        assert not merged
+
+    def test_weak_joint_left_to_other_vetoes(self):
+        """A pair where one joint barely moves belongs to the static/drift
+        vetoes, not this merge."""
+        from autourdf_tpu.joints.chain import merge_coarticulated_siblings
+
+        links = self._mk(2)
+        joints = [self._joint(0, 1, [0.5, 0, 0]),
+                  self._joint(0, 2, [0.5, 0.02, 0])]
+        swing = self._swing()
+        thetas = np.stack([swing, 0.01 * swing], axis=-1)  # corr 1, tiny range
+        _, merged = merge_coarticulated_siblings(
+            links, joints, thetas, scale=1.0)
+        assert not merged
+
+    def test_grandchild_reparented_and_ids_renumbered(self):
+        """Merging the victim re-parents its children and renumbers ids
+        contiguously (downstream mesh naming indexes by id)."""
+        from autourdf_tpu.joints.chain import merge_coarticulated_siblings
+        from autourdf_tpu.structure.tree import LinkNode
+
+        links = self._mk(2)
+        links.append(LinkNode(id=3, cluster_idx={4}, parent_id=2))
+        joints = [self._joint(0, 1, [0.5, 0, 0]),
+                  self._joint(0, 2, [0.5, 0.02, 0]),
+                  self._joint(2, 3, [0.5, 0.5, 0])]
+        swing = self._swing()
+        thetas = np.stack(
+            [swing, swing + 0.01 * self._swing(seed=9), self._swing(seed=5)],
+            axis=-1)
+        out, merged = merge_coarticulated_siblings(
+            links, joints, thetas, scale=1.0)
+        assert merged
+        ids = sorted(l.id for l in out)
+        assert ids == [0, 1, 2]
+        grandchild = next(l for l in out if l.cluster_idx == {4})
+        keeper = next(l for l in out if l.cluster_idx == {2, 3})
+        assert grandchild.parent_id == keeper.id
