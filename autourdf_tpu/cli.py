@@ -335,8 +335,12 @@ def main(argv=None) -> int:
                                       **_urdf_kwargs(args))
         ev = workflow.run_evaluation(cfg, asset_root=args.asset_root)
         print(json.dumps({"urdf": out["urdf_path"], "dof": out["dof"],
+                          "links": out["num_links"],
                           "dir_err_deg": ev["dir_mean"],
                           "pos_err_m": ev["pos_mean"],
+                          "matched": ev.get("matched"),
+                          "total": ev.get("total"),
+                          "dir_mean_complete": ev.get("dir_mean_complete"),
                           "chamfer": ev["chamfer_mean"],
                           "chamfer_floor": ev["chamfer_floor"]}))
     return 0

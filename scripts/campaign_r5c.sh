@@ -35,6 +35,7 @@ ab() {  # ab NAME ROBOT [urdf-extra-args...] — rebuild urdf+evaluate
 }
 
 ab ur5_ma3_r5 ur5 --chain-anchors 3
+ab wx200_5_ma3_r5 wx200_5 --chain-anchors 3   # re-back the wiped 3.89-deg log
 ab wx200_5_tr2 wx200_5 --chain-trunc 2.0
 ab ur5_tr2 ur5 --chain-trunc 2.0
 ab wx200_5_tr3 wx200_5 --chain-trunc 3.0

@@ -38,6 +38,8 @@ def parse_log(name: str) -> dict | None:
             out.update({k: d[k] for k in ("links", "dof") if k in d})
         if "dir_err_deg" in d:  # merged single-line form
             out.update(dir_mean=d["dir_err_deg"], pos_mean=d["pos_err_m"],
+                       matched=d.get("matched"), total=d.get("total"),
+                       dir_complete=d.get("dir_mean_complete"),
                        resim=d.get("chamfer"), floor=d.get("chamfer_floor"))
         if "dir_mean" in d:
             out.update(dir_mean=d["dir_mean"], pos_mean=d["pos_mean"],
